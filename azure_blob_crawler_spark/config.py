@@ -1,0 +1,50 @@
+"""Engine constants.
+
+Values mirror the reference's operational defaults so behavior is comparable
+(reference: shared/config/settings.py:32-38,80-101 — chunk budget, overlap,
+file-size limit, batch size, extension allow-lists, page markers).
+"""
+
+# --- chunking (reference settings.py:32-34) ---
+CHUNK_MAX_TOKENS = 4000
+OVERLAP_TOKENS = 200
+EMBEDDING_MAX_TOKENS = 8000
+# 1 token ~= 4 chars fallback ratio (reference settings.py:77)
+FALLBACK_CHARS_PER_TOKEN = 4
+
+# --- admission (reference settings.py:38,92-95; handlers.py:188-192) ---
+MAX_FILE_SIZE_MB = 100
+SUPPORTED_TEXT_EXTENSIONS = ("txt", "md", "csv")
+SUPPORTED_STRUCTURED_EXTENSIONS = ("json",)
+SUPPORTED_DOCUMENT_EXTENSIONS = ("pdf", "docx", "doc")
+ALL_SUPPORTED_EXTENSIONS = (
+    SUPPORTED_TEXT_EXTENSIONS
+    + SUPPORTED_STRUCTURED_EXTENSIONS
+    + SUPPORTED_DOCUMENT_EXTENSIONS
+)
+
+# --- page/section markers (reference settings.py:99-101) ---
+PAGE_PREFIX = "--- Page "
+SECTION_PREFIX = "--- Section "
+PAGE_SUFFIX = " ---"
+PARAGRAPHS_PER_PAGE = 20  # reference settings.py:98
+
+# --- embeddings ---
+EMBEDDING_DIM = 1536          # reference settings.py:76
+TEST_EMBEDDING_DIM = 64       # small dim used by tests/bench for speed
+
+# --- frontier / scheduling (reference settings.py:80-85) ---
+ROUND_SIZE = 10               # messages per receive batch
+MAX_ATTEMPTS = 10             # max delivery count before dead-letter
+DEFAULT_CRAWL_DELAY_S = 1.0   # politeness default when robots has no entry
+ROUND_SECONDS = 10.0          # notional wall budget of one BSP round
+
+# --- query surface (reference settings.py:144-146) ---
+DEFAULT_TOP = 10
+MAX_TOP = 100
+GET_ALL_DOCS_CAP = 100_000
+RRF_K = 60
+
+# --- seen-set sizing ---
+SEEN_BUCKETS = 64             # store buckets for seen/frontier tables
+BLOOM_FPP = 0.01

@@ -1,0 +1,201 @@
+"""URL canonicalization + hashing as native column expressions.
+
+The reference's URL handling is a bare ``strip https:// and split on /``
+(servicebus_processor.py:188-203, handlers.py:174-182). The engine extends it
+to real crawl canonicalization (north rule): lowercase scheme+authority, strip
+fragment, drop default ports, collapse duplicate slashes, resolve ``.``/``..``
+dot-segments (bounded depth), strip trailing slash.
+
+The transformation is defined ONCE as an ordered list of SQL steps and
+rendered for two dialects — Spark SQL (engine) and DuckDB (correctness
+oracle) — so the driver's side-by-side check exercises the exact same logic.
+Everything is a Catalyst-native string expression: no UDF, fully codegen'd,
+pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Max nesting depth of `/seg/../` resolution. Bounded because SQL has no
+# loops; 8 levels covers any sane URL (deeper ones are attack-shaped and
+# canonicalize incompletely but deterministically in BOTH dialects).
+_DOTDOT_PASSES = 8
+
+
+def _rx(expr: str, pattern: str, repl: str, dialect: str) -> str:
+    """regexp_replace with replace-ALL semantics in both dialects.
+
+    Spark replaces all matches by default but processes backslash escapes in
+    string literals; DuckDB needs the 'g' flag but treats literals verbatim.
+    """
+    if dialect == "spark":
+        pat = pattern.replace("\\", "\\\\")
+        return f"regexp_replace({expr}, '{pat}', '{repl}')"
+    return f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+
+
+def _steps(dialect: str) -> list[tuple[str, str]]:
+    """Ordered (alias, sql) steps; each sql may reference prior aliases.
+
+    Inlined textually for the Spark Column form, so every step references its
+    predecessor at most once to keep the rendered expression linear in the
+    number of steps (a two-reference step doubles the text per pass).
+    """
+    steps: list[tuple[str, str]] = []
+    steps.append(("u0", "trim(__URL__)"))
+    # strip fragment (split_part returns the whole string when sep is absent)
+    steps.append(("u1", "split_part(u0, '#', 1)"))
+    # scheme / rest split on '://' (input contract: absolute URLs)
+    steps.append(("sch", "lower(split_part(u1, '://', 1))"))
+    steps.append(("rest", "substr(u1, length(sch) + 4)"))
+    # authority = up to first '/', lowercased, default ports dropped
+    steps.append(("authraw", "split_part(rest, '/', 1)"))
+    steps.append(("auth", _rx("lower(authraw)", ":(80|443)$", "", dialect)))
+    # path+query = what follows the authority ('' when nothing does)
+    steps.append(("pq", "substr(rest, length(authraw) + 1)"))
+    # path vs query
+    steps.append(("rawpath", "split_part(pq, '?', 1)"))
+    steps.append(("qry", "substr(pq, length(rawpath) + 2)"))
+    # collapse '//'+ ; sentinel trailing '/' simplifies '.'/'..' handling
+    steps.append(("p0", _rx("rawpath || '/'", "/{2,}", "/", dialect)))
+    # resolve '/./' (3 passes: non-overlapping matches need re-scan)
+    prev = "p0"
+    for i in range(3):
+        steps.append((f"pd{i}", _rx(prev, "/\\./", "/", dialect)))
+        prev = f"pd{i}"
+    # resolve '/seg/../' bottom-up, plus leading '/../' garbage
+    for i in range(_DOTDOT_PASSES):
+        steps.append((f"ppa{i}", _rx(prev, "^/\\.\\./", "/", dialect)))
+        steps.append((f"ppb{i}", _rx(f"ppa{i}", "/[^/]+/\\.\\./", "/", dialect)))
+        prev = f"ppb{i}"
+    # drop sentinel / trailing slash; '' means root
+    steps.append(("path", _rx(prev, "/+$", "", dialect)))
+    steps.append(
+        ("canon", "sch || '://' || auth || path || case when qry <> '' then '?' || qry else '' end")
+    )
+    return steps
+
+
+def canonicalize_sql(url_expr: str, dialect: str, from_clause: str | None = None) -> str:
+    """Render the full canonicalization as a scalar SQL expression.
+
+    Returns a nested-subquery SELECT when ``from_clause`` is given (oracle
+    use), else a single scalar expression built by textual substitution
+    (Spark ``F.expr`` use).
+    """
+    steps = _steps(dialect)
+    if from_clause is None:
+        # inline: substitute aliases textually, innermost-first
+        env: dict[str, str] = {}
+        for alias, sql in steps:
+            rendered = sql.replace("__URL__", url_expr)
+            # longest-name-first so e.g. 'pd10' never matches inside 'pd1'
+            for name in sorted(env, key=len, reverse=True):
+                rendered = _subst_ident(rendered, name, env[name])
+            env[alias] = f"({rendered})"
+        return env["canon"]
+    # nested subqueries: one layer per step (readable for the oracle)
+    inner = f"select {url_expr} as __url__, * from {from_clause}"
+    for alias, sql in steps:
+        rendered = sql.replace("__URL__", "__url__")
+        inner = f"select *, {rendered} as {alias} from ({inner})"
+    return inner
+
+
+def _subst_ident(sql: str, name: str, repl: str) -> str:
+    """Replace identifier `name` with `repl` at word boundaries.
+
+    The replacement goes through a lambda: ``repl`` contains regex escape
+    sequences (``\\.``) that ``re.sub``'s template syntax would mangle.
+    """
+    import re
+
+    return re.sub(rf"\b{name}\b", lambda _m: repl, sql)
+
+
+def _normalize_path(path: Column) -> Column:
+    """Collapse '//'+, resolve '.'/'..' (bounded), strip trailing slash."""
+    p = F.regexp_replace(F.concat(path, F.lit("/")), "/{2,}", "/")
+    for _ in range(3):
+        p = F.regexp_replace(p, "/\\./", "/")
+    for _ in range(_DOTDOT_PASSES):
+        p = F.regexp_replace(p, "^/\\.\\./", "/")
+        p = F.regexp_replace(p, "/[^/]+/\\.\\./", "/")
+    return F.regexp_replace(p, "/+$", "")
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonicalized URL as a native Spark column expression.
+
+    Built on ``parse_url`` (one java.net.URI parse feeding scheme/authority/
+    path/query) plus a linear regexp chain for path normalization — the
+    step-inlined form used for the DuckDB oracle (``canonicalize_sql``)
+    compiles to pathologically large codegen in Spark; this form is a few
+    hundred bytes of generated code. Observable output is identical; the
+    parity test in tests/test_urls.py pins both against the same cases.
+    """
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    sch = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    auth = F.regexp_replace(F.lower(F.parse_url(u, F.lit("AUTHORITY"))), ":(80|443)$", "")
+    path = _normalize_path(F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")))
+    qry = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    qpart = F.when(qry != "", F.concat(F.lit("?"), qry)).otherwise(F.lit(""))
+    return F.concat(sch, F.lit("://"), auth, path, qpart)
+
+
+def url_host(canon: Column | str) -> Column:
+    """Authority (host[:port]) of an already-canonical URL."""
+    c = F.col(canon) if isinstance(canon, str) else canon
+    rest = F.expr(f"substr({_colname(canon)}, length(split_part({_colname(canon)}, '://', 1)) + 4)")
+    return F.split_part(rest, F.lit("/"), F.lit(1))
+
+
+def _colname(c: Column | str) -> str:
+    return c if isinstance(c, str) else c._jc.toString()  # noqa: SLF001
+
+
+def canonical_url_py(url: str) -> str:
+    """Pure-Python twin of ``canonical_url`` for the reference-semantics
+    simulator (plans/simulator.py). Segment-stack dot resolution equals the
+    engine's bounded regex passes for any URL nested ≤ 8 deep (test-pinned
+    on the shared CASES plus a synthetic-frontier sweep)."""
+    u = url.strip()
+    u = u.split("#", 1)[0]
+    scheme, _, rest = u.partition("://")
+    scheme = scheme.lower()
+    slash = rest.find("/")
+    if slash < 0:
+        auth, pq = rest, ""
+    else:
+        auth, pq = rest[:slash], rest[slash:]
+    auth = auth.lower()
+    for port in (":80", ":443"):
+        if auth.endswith(port):
+            auth = auth[: -len(port)]
+            break
+    path, _, qry = pq.partition("?")
+    segs: list[str] = []
+    for seg in path.split("/"):
+        if seg in ("", "."):
+            continue
+        if seg == "..":
+            if segs:
+                segs.pop()
+            continue
+        segs.append(seg)
+    npath = "".join("/" + s for s in segs)
+    qpart = f"?{qry}" if qry else ""
+    return f"{scheme}://{auth}{npath}{qpart}"
+
+
+def url_host_py(canon: str) -> str:
+    rest = canon.partition("://")[2]
+    return rest.split("/", 1)[0].split("?", 1)[0]
+
+
+def url_hash(canon: Column | str) -> Column:
+    """64-bit key for the seen-set / frontier dedup (xxhash64, JVM-native)."""
+    c = F.col(canon) if isinstance(canon, str) else canon
+    return F.xxhash64(c)

@@ -1,0 +1,90 @@
+"""Per-host politeness scheduler — the engine twin of the reference's
+batch receive (servicebus_client.py:84-189: ≤10 msgs/round, FIFO) extended
+with robots crawl-delay budgets (north rule; the reference has no politeness
+because Service Bus serializes delivery).
+
+Claim semantics (deterministic, pure function of frontier state — this is
+what lets tests assert ordering equality against plans/simulator.py):
+
+1. eligible = state == 'pending'
+2. priority order = (depth ASC, discovery_seq ASC, url ASC)  — total order
+3. per-host budget = max(1, floor(round_seconds / crawl_delay)); crawl_delay
+   from the robots table (broadcast join — robots is small), engine default
+   when absent
+4. keep per-host priority rank ≤ budget, then take the first ``round_size``
+   rows in global priority order
+
+Skew note (hot host = 30% of frontier in the synthetic corpus): the per-host
+ranking window is computed in two phases — a salted pre-rank
+(partitionBy(host, discovery_seq % S)) keeps at most ``budget`` rows per
+salt, bounding the exact window's input to S*budget rows per host instead of
+the host's full frontier share. AQE skew-join handles the residual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from azure_blob_crawler_spark import config
+
+SALT_FACTOR = 8
+
+
+def _priority():
+    """Total claim order (lazy: Column construction needs a live session)."""
+    return [F.col("depth").asc(), F.col("discovery_seq").asc(), F.col("url").asc()]
+
+
+def with_budget(
+    pending: DataFrame,
+    robots: DataFrame,
+    round_seconds: float = config.ROUND_SECONDS,
+    default_delay: float = config.DEFAULT_CRAWL_DELAY_S,
+) -> DataFrame:
+    """Broadcast-join crawl delays onto the frontier and derive budgets."""
+    r = F.broadcast(robots.select("host", "crawl_delay_s"))
+    delay = F.coalesce(F.col("crawl_delay_s"), F.lit(default_delay))
+    return (
+        pending.join(r, "host", "left")
+        .withColumn(
+            "host_budget",
+            F.greatest(F.floor(F.lit(round_seconds) / delay), F.lit(1)).cast("int"),
+        )
+        .drop("crawl_delay_s")
+    )
+
+
+def claim_round(
+    frontier: DataFrame,
+    robots: DataFrame,
+    round_size: int = config.ROUND_SIZE,
+    round_seconds: float = config.ROUND_SECONDS,
+    default_delay: float = config.DEFAULT_CRAWL_DELAY_S,
+) -> DataFrame:
+    """The next crawl round's claim set, with ``claim_rank`` (1-based global
+    priority position — the round's deterministic processing order)."""
+    pending = frontier.filter(F.col("state") == "pending")
+    budgeted = with_budget(pending, robots, round_seconds, default_delay)
+
+    # phase 1: salted pre-rank bounds per-task input under host skew
+    w_salt = Window.partitionBy(
+        "host", F.pmod(F.col("discovery_seq"), F.lit(SALT_FACTOR))
+    ).orderBy(*_priority())
+    pre = budgeted.withColumn("__salt_rank", F.row_number().over(w_salt)).filter(
+        F.col("__salt_rank") <= F.col("host_budget")
+    )
+
+    # phase 2: exact per-host rank on the pruned set
+    w_host = Window.partitionBy("host").orderBy(*_priority())
+    eligible = (
+        pre.withColumn("host_rank", F.row_number().over(w_host))
+        .filter(F.col("host_rank") <= F.col("host_budget"))
+        .drop("__salt_rank")
+    )
+
+    claimed = eligible.orderBy(*_priority()).limit(round_size)
+    w_global = Window.orderBy(*_priority())
+    return claimed.withColumn("claim_rank", F.row_number().over(w_global)).drop(
+        "host_budget", "host_rank"
+    )

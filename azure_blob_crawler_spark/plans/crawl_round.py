@@ -1,0 +1,303 @@
+"""CrawlRunner — iterated BSP crawl rounds over SnapshotStore tables.
+
+One round = the engine equivalent of the reference's full message lifecycle
+(SURVEY.md §3.1: receive → extract → chunk → embed → upload → complete):
+
+  claim (scheduler) → mark in_flight → fetch (deterministic simulator UDF)
+  → admission → span extraction → chunking → embedding → MERGE chunks +
+  doc_meta → link extraction → canonicalize → seen-set dedup (bloom + exact
+  anti-join) → MERGE frontier (done states + discovered links) → commit
+
+State machine per frontier row (reference complete/abandon/dead-letter
+semantics, servicebus_client.py:191-264 + exceptions.py taxonomy):
+pending → in_flight → done | done_skipped | pending(attempts+1) | dead.
+
+Every merge is idempotent on its key, and the claim is a pure function of
+committed frontier state — so a crash anywhere mid-round replays to the
+identical result (tests/test_resume.py). The final frontier merge of a round
+carries the round's metrics + touched-bucket lineage in its snapshot summary
+(north rule's per-partition lineage + fetch/dedup/emit metrics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from azure_blob_crawler_spark import config
+from azure_blob_crawler_spark.functions.embedding import make_embed_udf
+from azure_blob_crawler_spark.functions.text import token_count
+from azure_blob_crawler_spark.functions.urls import canonical_url, url_hash, url_host
+from azure_blob_crawler_spark.operators.admission import MAX_BYTES
+from azure_blob_crawler_spark.operators.chunker import make_chunk_doc_udf
+from azure_blob_crawler_spark.operators.extraction import (
+    full_content_of,
+    is_paged_doc,
+    make_extract_spans_udf,
+    pages_of,
+)
+from azure_blob_crawler_spark.operators.linkextract import extract_links
+from azure_blob_crawler_spark.operators.scheduler import claim_round
+from azure_blob_crawler_spark.operators.seen import filter_unseen
+from azure_blob_crawler_spark.sources.store import SnapshotStore
+from azure_blob_crawler_spark.sources.synthetic import make_fetch_udf
+
+FRONTIER = "frontier"
+CHUNKS = "chunks"
+DOC_META = "doc_meta"
+CLAIM_LOG = "claim_log"
+
+
+class CrawlRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        round_size: int = config.ROUND_SIZE,
+        round_seconds: float = config.ROUND_SECONDS,
+        default_delay: float = config.DEFAULT_CRAWL_DELAY_S,
+        embed_dim: int = config.TEST_EMBEDDING_DIM,
+        n_buckets: int = config.SEEN_BUCKETS,
+    ):
+        self.spark = spark
+        self.store = SnapshotStore(spark, store_root)
+        self.round_size = round_size
+        self.round_seconds = round_seconds
+        self.default_delay = default_delay
+        self.embed_dim = embed_dim
+        self.n_buckets = n_buckets
+        self._fetch = make_fetch_udf()
+        self._extract = make_extract_spans_udf()
+        self._chunk = make_chunk_doc_udf()
+        self._embed = make_embed_udf(embed_dim)
+
+    # --- bootstrap -----------------------------------------------------------
+
+    def init_frontier(self, seeds: DataFrame, robots: DataFrame) -> None:
+        """Seed ingest: canonicalize, first-seq-wins dedup, state=pending.
+
+        ``seeds``: (url, depth, discovery_seq)."""
+        canon = (
+            seeds.withColumn("url", canonical_url("url"))
+            .withColumn("host", url_host("url"))
+            .withColumn("url_hash", url_hash("url"))
+        )
+        w = Window.partitionBy("url_hash").orderBy("discovery_seq")
+        deduped = (
+            canon.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("state", F.lit("pending"))
+            .withColumn("attempts", F.lit(0))
+        )
+        n_seed_rows = seeds.count()
+        self.store.create(
+            FRONTIER,
+            deduped.select(
+                "url_hash", "url", "host", "depth", "discovery_seq", "state", "attempts"
+            ),
+            key="url_hash",
+            n_buckets=self.n_buckets,
+            summary={"round": 0, "next_seq": n_seed_rows},
+        )
+        self.store.create(
+            "robots", robots, key="host", n_buckets=1, summary={"rows": robots.count()}
+        )
+
+    # --- recovery ------------------------------------------------------------
+
+    def recover(self) -> int:
+        """Reset stale in_flight rows (crash artifacts) to pending.
+
+        Returns the number of rows reset. Reference analogue: peek-lock
+        expiry redelivers the message with delivery-count++
+        (servicebus_client.py:229-264)."""
+        frontier = self.store.read(FRONTIER)
+        stale = frontier.filter(F.col("state") == "in_flight")
+        n = stale.count()
+        if n:
+            reset = stale.withColumn("state", F.lit("pending")).withColumn(
+                "attempts", F.col("attempts") + 1
+            )
+            dead = reset.filter(F.col("attempts") >= config.MAX_ATTEMPTS).withColumn(
+                "state", F.lit("dead")
+            )
+            alive = reset.filter(F.col("attempts") < config.MAX_ATTEMPTS)
+            self.store.merge(FRONTIER, alive.unionByName(dead), summary={"recovered": n})
+        return n
+
+    # --- one BSP round ---------------------------------------------------------
+
+    def _last_commit_summary(self) -> dict:
+        """Round state comes only from *committed* rounds (summaries carrying
+        ``next_seq``) — mid-round phase summaries (claim locks, recovery)
+        must not advance the round counter, or crash-replay would renumber."""
+        for v in range(self.store.current_version(FRONTIER), 0, -1):
+            s = self.store.summary(FRONTIER, v)
+            if "next_seq" in s:
+                return s
+        return {"round": 0, "next_seq": 0}
+
+    def run_round(self) -> dict:
+        frontier = self.store.read(FRONTIER)
+        robots = self.store.read("robots")
+        prev = self._last_commit_summary()
+        rnd = int(prev.get("round", 0)) + 1
+        next_seq = int(prev.get("next_seq", 0))
+
+        claimed = claim_round(
+            frontier, robots, self.round_size, self.round_seconds, self.default_delay
+        ).persist()
+        n_claimed = claimed.count()
+        if n_claimed == 0:
+            claimed.unpersist()
+            return {"round": rnd, "claimed": 0, "done": True}
+
+        # 1. lock: pending → in_flight (crash before the final commit replays)
+        self.store.merge(
+            FRONTIER,
+            claimed.select(
+                "url_hash", "url", "host", "depth", "discovery_seq",
+                F.lit("in_flight").alias("state"), "attempts",
+            ),
+            summary={"round": rnd, "phase": "claim", "claimed": n_claimed},
+        )
+
+        # 2. claim log (ordering oracle surface)
+        log_rows = claimed.select(
+            F.lit(rnd).alias("round"),
+            F.col("claim_rank").alias("rank"),
+            "url",
+            (F.lit(int(rnd)).cast("long") * F.lit(100_000_000).cast("long")
+             + F.col("claim_rank").cast("long")).alias("log_key"),
+        )
+        self._merge_or_create(CLAIM_LOG, log_rows, key="log_key")
+
+        # 3. fetch + admission (size gate BEFORE extraction UDFs)
+        fetched = claimed.withColumn("__f", self._fetch("url", "depth")).select(
+            "*", F.col("__f.content").alias("content"), F.col("__f.size").alias("size")
+        ).drop("__f").persist()
+        admitted = fetched.filter(F.col("size") <= MAX_BYTES)
+        skipped = fetched.filter(F.col("size") > MAX_BYTES)
+
+        # 4. extract spans → pages/full_content → chunk → embed
+        docs = (
+            admitted.withColumn("spans", self._extract("url", "content", "size"))
+            .withColumn("pages", pages_of(F.col("spans")))
+            .withColumn("full_content", full_content_of(F.col("spans")))
+            .withColumn("use_pages", is_paged_doc(F.col("spans")))
+            .withColumn("doc_id", F.regexp_replace("url", "[^A-Za-z0-9_-]", "_"))
+            .persist()
+        )
+        nonempty = docs.filter(F.trim("full_content") != "")
+        chunks = (
+            nonempty.select(
+                "doc_id", "url",
+                F.posexplode(self._chunk("pages", "full_content", "use_pages")).alias(
+                    "chunk_index", "content_chunk"
+                ),
+            )
+            .withColumn("chunk_id", F.concat_ws("_", "doc_id", F.lit("chunk"), "chunk_index"))
+            .withColumn("n_tokens", token_count(F.col("content_chunk")))
+            .withColumn("vector", self._embed("content_chunk"))
+            .select("chunk_id", "doc_id", "url", "chunk_index",
+                    F.col("content_chunk").alias("content"), "n_tokens", "vector")
+        )
+        n_chunks = self._merge_or_create(CHUNKS, chunks, key="chunk_id")
+
+        # 5. doc metadata (document_processor.py:327-336 analogue)
+        meta = (
+            nonempty.select("doc_id", "url", "depth")
+            .join(
+                chunks.groupBy("doc_id").agg(
+                    F.sum("n_tokens").alias("total_tokens"),
+                    F.count("*").alias("chunk_count"),
+                ),
+                "doc_id",
+                "left",
+            )
+            .withColumn("processed_round", F.lit(rnd))
+        )
+        self._merge_or_create(DOC_META, meta, key="doc_id")
+
+        # 6. discovery: links → canonical → batch-dedup → unseen → new frontier rows
+        links = extract_links(
+            docs.select("url", "depth", "claim_rank", "full_content")
+        ).select(
+            F.col("link_url").alias("url"),
+            F.col("link_host").alias("host"),
+            F.col("link_hash").alias("url_hash"),
+            (F.col("depth") + 1).alias("depth"),
+            "claim_rank",
+            "link_idx",
+        )
+        w_first = Window.partitionBy("url_hash").orderBy("claim_rank", "link_idx")
+        batch_unique = (
+            links.withColumn("__rn", F.row_number().over(w_first))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        fresh = filter_unseen(batch_unique, frontier.select("url_hash")).persist()
+        w_seq = Window.orderBy("claim_rank", "link_idx", "url")
+        new_rows = fresh.withColumn(
+            "discovery_seq", F.lit(next_seq) - 1 + F.row_number().over(w_seq)
+        ).select(
+            "url_hash", "url", "host", "depth", "discovery_seq",
+            F.lit("pending").alias("state"), F.lit(0).alias("attempts"),
+        )
+        n_new = fresh.count()
+
+        # 7. final frontier commit: done states + discovered rows + metrics
+        done_states = fetched.withColumn(
+            "state",
+            F.when(F.col("size") > MAX_BYTES, F.lit("done_skipped")).otherwise(F.lit("done")),
+        ).select("url_hash", "url", "host", "depth", "discovery_seq", "state", "attempts")
+        n_skipped = skipped.count()
+        summary = self.store.merge(
+            FRONTIER,
+            done_states.unionByName(new_rows),
+            summary={
+                "round": rnd,
+                "phase": "commit",
+                "claimed": n_claimed,
+                "fetched": n_claimed - n_skipped,
+                "skipped": n_skipped,
+                "new_links": n_new,
+                "emitted_chunks": n_chunks,
+                "next_seq": next_seq + n_new,
+            },
+        )
+        claimed.unpersist()
+        fetched.unpersist()
+        docs.unpersist()
+        fresh.unpersist()
+        return {**summary, "done": False}
+
+    def _merge_or_create(self, name: str, df: DataFrame, key: str) -> int:
+        df = df.persist()
+        n = df.count()
+        if self.store.exists(name):
+            self.store.merge(name, df)
+        elif n:
+            self.store.create(name, df, key=key, n_buckets=self.n_buckets)
+        df.unpersist()
+        return n
+
+    def run(self, max_rounds: int = 1000) -> list[dict]:
+        self.recover()
+        out = []
+        for _ in range(max_rounds):
+            m = self.run_round()
+            if m.get("done"):
+                break
+            out.append(m)
+        return out
+
+    # --- oracle surfaces ---------------------------------------------------------
+
+    def claim_log(self) -> list[tuple[int, int, str]]:
+        rows = self.store.read(CLAIM_LOG).orderBy("round", "rank").collect()
+        return [(r["round"], r["rank"], r["url"]) for r in rows]
+
+    def seen_set(self) -> set[str]:
+        return {r["url"] for r in self.store.read(FRONTIER).select("url").collect()}

@@ -1,0 +1,88 @@
+"""SnapshotStore: MERGE semantics, bucket-incremental commits, atomicity,
+time travel."""
+
+from pyspark.sql import functions as F
+
+from azure_blob_crawler_spark.sources.store import SnapshotStore
+
+
+def make_store(spark, tmp_path):
+    return SnapshotStore(spark, str(tmp_path / "store"))
+
+
+def base_df(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"), F.lit("pending").alias("s")
+    )
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    st = make_store(spark, tmp_path)
+    st.create("t", base_df(spark), key="k", n_buckets=8)
+    got = st.read("t")
+    assert got.count() == 100
+    assert set(got.columns) == {"k", "v", "s"}
+
+
+def test_merge_upsert_and_insert(spark, tmp_path):
+    st = make_store(spark, tmp_path)
+    st.create("t", base_df(spark), key="k", n_buckets=8)
+    updates = spark.range(90, 110).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v"), F.lit("done").alias("s")
+    )
+    st.merge("t", updates)
+    got = st.read("t")
+    assert got.count() == 110  # 10 updated + 10 inserted
+    assert got.filter(F.col("v") == -1).count() == 20
+    assert got.filter((F.col("k") == 5) & (F.col("v") == 50)).count() == 1
+
+
+def test_merge_is_idempotent(spark, tmp_path):
+    st = make_store(spark, tmp_path)
+    st.create("t", base_df(spark), key="k", n_buckets=8)
+    updates = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v"), F.lit("done").alias("s")
+    )
+    st.merge("t", updates)
+    before = sorted(st.read("t").collect())
+    st.merge("t", updates)  # replay
+    after = sorted(st.read("t").collect())
+    assert before == after
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    st = make_store(spark, tmp_path)
+    st.create("t", base_df(spark, 1000), key="k", n_buckets=16)
+    v1 = st._manifest("t")
+    one = spark.range(1).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v"), F.lit("x").alias("s")
+    )
+    summary = st.merge("t", one)
+    v2 = st._manifest("t")
+    assert len(summary["touched_buckets"]) == 1
+    reused = sum(1 for b, p in v2["buckets"].items() if v1["buckets"].get(b) == p)
+    assert reused == 15  # all untouched buckets reuse v1 files
+
+
+def test_delete(spark, tmp_path):
+    st = make_store(spark, tmp_path)
+    st.create("t", base_df(spark), key="k", n_buckets=4)
+    victims = spark.range(50).select(F.col("id").alias("k"))
+    st.merge("t", victims, delete=True)
+    got = st.read("t")
+    assert got.count() == 50
+    assert got.agg(F.min("k")).collect()[0][0] == 50
+
+
+def test_time_travel_and_summary(spark, tmp_path):
+    st = make_store(spark, tmp_path)
+    st.create("t", base_df(spark), key="k", n_buckets=4, summary={"round": 0})
+    st.merge(
+        "t",
+        spark.range(5).select(F.col("id").alias("k"), F.lit(0).alias("v"), F.lit("d").alias("s")),
+        summary={"round": 1},
+    )
+    assert st.read("t", version=1).filter(F.col("v") == 0).count() == 1  # only k=0
+    assert st.read("t", version=2).filter(F.col("v") == 0).count() == 5
+    assert st.summary("t")["round"] == 1
+    assert [h["summary"].get("round") for h in st.history("t")] == [0, 1]
