@@ -288,6 +288,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_distinct_agg"] = q_distinct_agg
 
+    def q_cube(spark, d):
+        return (
+            T(spark, d, "orders")
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("sum_price"))
+            .select(
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+                "n", "sum_price",
+            )
+        )
+
+    q["q_cube"] = q_cube
+
+    def q_exists_subquery(spark, d):
+        c = T(spark, d, "customer")
+        big = T(spark, d, "orders").filter(F.col("o_totalprice") > 400_000).select("o_custkey")
+        return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    q["q_exists_subquery"] = q_exists_subquery
+
+    def q_in_subquery_anti(spark, d):
+        p = T(spark, d, "part")
+        li = T(spark, d, "lineitem").filter(F.col("l_quantity") > 45).select("l_partkey")
+        return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+            "p_partkey", "p_name"
+        )
+
+    q["q_in_subquery_anti"] = q_in_subquery_anti
+
+    def q_string_funcs(spark, d):
+        s = T(spark, d, "supplier")
+        return s.select(
+            "s_suppkey",
+            F.upper("s_name").alias("uname"),
+            F.substring("s_name", 1, 4).alias("prefix"),
+            F.concat_ws("|", "s_name", F.lower("s_name")).alias("joined"),
+            F.regexp_replace("s_name", "[aeiou]", "_").alias("devowel"),
+            F.length("s_name").alias("namelen"),
+            F.substring_index("s_name", "#", -1).alias("tail"),
+        )
+
+    q["q_string_funcs"] = q_string_funcs
+
+    def q_date_funcs(spark, d):
+        o = T(spark, d, "orders")
+        return (
+            o.groupBy(
+                F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+                F.year("o_orderdate").alias("yr"),
+                F.quarter("o_orderdate").alias("qtr"),
+            )
+            .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        )
+
+    q["q_date_funcs"] = q_date_funcs
+
+    def q_conditional_agg(spark, d):
+        li = T(spark, d, "lineitem")
+        return li.groupBy("l_linestatus").agg(
+            F.round(
+                F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0.0)),
+                4,
+            ).alias("returned_qty"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
+            F.count("*").alias("n"),
+        )
+
+    q["q_conditional_agg"] = q_conditional_agg
+
+    def q_having(spark, d):
+        return (
+            T(spark, d, "orders")
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"))
+            .filter(F.col("n_orders") >= 10)
+        )
+
+    q["q_having"] = q_having
+
+    def q_multiset_ops(spark, d):
+        o = T(spark, d, "orders")
+        a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+        return a.exceptAll(b).groupBy("o_custkey").agg(F.count("*").alias("multiplicity"))
+
+    q["q_multiset_ops"] = q_multiset_ops
+
+    def q_sessionize(spark, d):
+        ev = T(spark, d, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        marked = ev.withColumn(
+            "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        return marked.groupBy("user_id").agg(
+            F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+        )
+
+    q["q_sessionize"] = q_sessionize
+
     # --- crawl-shaped ops (§2.2 projections, §2.1 admission) ---
 
     def q_url_canonicalize(spark, d):
@@ -623,6 +726,72 @@ def oracle_sql() -> dict[str, str]:
             from nation
             left join supplier on s_nationkey = n_nationkey
             group by n_name
+        """,
+        "q_cube": """
+            select coalesce(o_orderstatus, 'ALL') as status,
+                   coalesce(o_orderpriority, 'ALL') as prio,
+                   count(*) as n, round(sum(o_totalprice), 4) as sum_price
+            from orders
+            group by cube(o_orderstatus, o_orderpriority)
+        """,
+        "q_exists_subquery": """
+            select c_custkey, c_acctbal from customer
+            where exists (select 1 from orders
+                          where o_custkey = c_custkey and o_totalprice > 400000)
+        """,
+        "q_in_subquery_anti": """
+            select p_partkey, p_name from part
+            where p_partkey not in (select l_partkey from lineitem where l_quantity > 45)
+        """,
+        "q_string_funcs": """
+            select s_suppkey,
+                   upper(s_name) as uname,
+                   substr(s_name, 1, 4) as prefix,
+                   concat_ws('|', s_name, lower(s_name)) as joined,
+                   regexp_replace(s_name, '[aeiou]', '_', 'g') as devowel,
+                   length(s_name) as namelen,
+                   split_part(s_name, '#', -1) as tail
+            from supplier
+        """,
+        "q_date_funcs": """
+            select strftime(date_trunc('month', o_orderdate), '%Y-%m') as month,
+                   year(o_orderdate) as yr,
+                   quarter(o_orderdate) as qtr,
+                   count(*) as n, round(avg(o_totalprice), 4) as avg_price
+            from orders
+            group by 1, 2, 3
+        """,
+        "q_conditional_agg": """
+            select l_linestatus,
+                   round(sum(case when l_returnflag = 'R' then l_quantity else 0.0 end), 4)
+                       as returned_qty,
+                   sum(case when l_discount > 0.05 then 1 else 0 end)::bigint as n_discounted,
+                   count(*) as n
+            from lineitem
+            group by l_linestatus
+        """,
+        "q_having": """
+            select o_custkey, count(*) as n_orders
+            from orders group by o_custkey having count(*) >= 10
+        """,
+        "q_multiset_ops": """
+            select o_custkey, count(*) as multiplicity from (
+                select o_custkey from orders where o_orderstatus = 'O'
+                except all
+                select o_custkey from orders where o_orderpriority = '1-URGENT'
+            ) group by o_custkey
+        """,
+        "q_sessionize": """
+            select user_id, sum(new_session)::bigint as n_sessions, count(*) as n_events
+            from (
+                select user_id,
+                       case when lag(ts) over (partition by user_id order by ts, event_id)
+                                 is null
+                              or epoch(ts) - epoch(lag(ts) over (partition by user_id
+                                                                 order by ts, event_id)) > 1800
+                            then 1 else 0 end as new_session
+                from events
+            ) group by user_id
         """,
         "q_url_canonicalize": f"""
             select doc_id, canon as curl from ({canon_sub})

@@ -38,7 +38,7 @@ from azure_blob_crawler_spark.operators.extraction import (
 )
 from azure_blob_crawler_spark.operators.linkextract import extract_links
 from azure_blob_crawler_spark.operators.scheduler import claim_round
-from azure_blob_crawler_spark.operators.seen import filter_unseen
+from azure_blob_crawler_spark.operators.seen import cuckoo_insert, cuckoo_probe, filter_unseen
 from azure_blob_crawler_spark.sources.store import SnapshotStore
 from azure_blob_crawler_spark.sources.synthetic import make_fetch_udf
 
@@ -46,6 +46,7 @@ FRONTIER = "frontier"
 CHUNKS = "chunks"
 DOC_META = "doc_meta"
 CLAIM_LOG = "claim_log"
+SEEN_CUCKOO = "seen_cuckoo"
 
 
 class CrawlRunner:
@@ -91,6 +92,7 @@ class CrawlRunner:
             .withColumn("attempts", F.lit(0))
         )
         n_seed_rows = seeds.count()
+        deduped = deduped.persist()
         self.store.create(
             FRONTIER,
             deduped.select(
@@ -100,6 +102,13 @@ class CrawlRunner:
             n_buckets=self.n_buckets,
             summary={"round": 0, "next_seq": n_seed_rows},
         )
+        # cuckoo seen-set shards (north star: partitioned cuckoo filter, one
+        # binary blob per bucket; invariant cuckoo ⊇ frontier keys)
+        shards = cuckoo_insert(
+            deduped.select("url_hash"), None, n_store_buckets=self.n_buckets
+        )
+        self.store.create(SEEN_CUCKOO, shards, key="bucket", n_buckets=8)
+        deduped.unpersist()
         self.store.create(
             "robots", robots, key="host", n_buckets=1, summary={"rows": robots.count()}
         )
@@ -173,12 +182,19 @@ class CrawlRunner:
         )
         self._merge_or_create(CLAIM_LOG, log_rows, key="log_key")
 
-        # 3. fetch + admission (size gate BEFORE extraction UDFs)
-        fetched = claimed.withColumn("__f", self._fetch("url", "depth")).select(
-            "*", F.col("__f.content").alias("content"), F.col("__f.size").alias("size")
+        # 3. fetch + admission (size gate BEFORE extraction UDFs); fetch
+        # failures follow the reference's abandon path (attempts+1, state
+        # back to pending, dead-letter at MAX_ATTEMPTS —
+        # servicebus_processor.py:243-250, deploy-infrastructure.ps1:257)
+        fetched = claimed.withColumn("__f", self._fetch("url", "depth", "attempts")).select(
+            "*",
+            F.col("__f.content").alias("content"),
+            F.col("__f.size").alias("size"),
+            F.col("__f.ok").alias("ok"),
         ).drop("__f").persist()
-        admitted = fetched.filter(F.col("size") <= MAX_BYTES)
-        skipped = fetched.filter(F.col("size") > MAX_BYTES)
+        admitted = fetched.filter(F.col("ok") & (F.col("size") <= MAX_BYTES))
+        skipped = fetched.filter(F.col("ok") & (F.col("size") > MAX_BYTES))
+        failed = fetched.filter(~F.col("ok"))
 
         # 4. extract spans → pages/full_content → chunk → embed
         docs = (
@@ -237,7 +253,7 @@ class CrawlRunner:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        fresh = filter_unseen(batch_unique, frontier.select("url_hash")).persist()
+        fresh = self._filter_unseen(batch_unique, frontier).persist()
         w_seq = Window.orderBy("claim_rank", "link_idx", "url")
         new_rows = fresh.withColumn(
             "discovery_seq", F.lit(next_seq) - 1 + F.row_number().over(w_seq)
@@ -247,12 +263,36 @@ class CrawlRunner:
         )
         n_new = fresh.count()
 
-        # 7. final frontier commit: done states + discovered rows + metrics
+        # 6b. maintain the cuckoo seen-set BEFORE the frontier commit so the
+        # invariant cuckoo ⊇ frontier survives a crash between the two
+        # commits (a cuckoo false positive only costs an exact check; a
+        # frontier key missing from the cuckoo would be a correctness bug)
+        if n_new:
+            shards = self.store.read(SEEN_CUCKOO) if self.store.exists(SEEN_CUCKOO) else None
+            updated = cuckoo_insert(
+                new_rows.select("url_hash"), shards, n_store_buckets=self.n_buckets
+            )
+            self._merge_or_create(SEEN_CUCKOO, updated, key="bucket")
+
+        # 7. final frontier commit: done states + failure redeliveries +
+        # discovered rows + metrics
+        new_attempts = F.when(~F.col("ok"), F.col("attempts") + 1).otherwise(F.col("attempts"))
         done_states = fetched.withColumn(
             "state",
-            F.when(F.col("size") > MAX_BYTES, F.lit("done_skipped")).otherwise(F.lit("done")),
-        ).select("url_hash", "url", "host", "depth", "discovery_seq", "state", "attempts")
+            F.when(
+                ~F.col("ok"),
+                F.when(F.col("attempts") + 1 >= config.MAX_ATTEMPTS, F.lit("dead")).otherwise(
+                    F.lit("pending")
+                ),
+            )
+            .when(F.col("size") > MAX_BYTES, F.lit("done_skipped"))
+            .otherwise(F.lit("done")),
+        ).select(
+            "url_hash", "url", "host", "depth", "discovery_seq", "state",
+            new_attempts.alias("attempts"),
+        )
         n_skipped = skipped.count()
+        n_failed = failed.count()
         summary = self.store.merge(
             FRONTIER,
             done_states.unionByName(new_rows),
@@ -260,8 +300,9 @@ class CrawlRunner:
                 "round": rnd,
                 "phase": "commit",
                 "claimed": n_claimed,
-                "fetched": n_claimed - n_skipped,
+                "fetched": n_claimed - n_skipped - n_failed,
                 "skipped": n_skipped,
+                "failed": n_failed,
                 "new_links": n_new,
                 "emitted_chunks": n_chunks,
                 "next_seq": next_seq + n_new,
@@ -272,6 +313,22 @@ class CrawlRunner:
         docs.unpersist()
         fresh.unpersist()
         return {**summary, "done": False}
+
+    def _filter_unseen(self, candidates: DataFrame, frontier: DataFrame) -> DataFrame:
+        """Seen-set dedup: cuckoo-shard probe prefilter (O(1) memory per
+        task, one shard per task via cogroup) routes only *maybe-seen*
+        candidates to the exact anti-join; falls back to the broadcast-bloom
+        prefilter when no cuckoo table exists. Both prefilters are
+        semantics-free: no false negatives, false positives only cost the
+        exact check."""
+        if self.store.exists(SEEN_CUCKOO):
+            shards = self.store.read(SEEN_CUCKOO)
+            tagged = cuckoo_probe(candidates, shards, n_store_buckets=self.n_buckets)
+            suspects = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            confirmed_new = suspects.join(frontier.select("url_hash"), "url_hash", "left_anti")
+            return definitely_new.unionByName(confirmed_new)
+        return filter_unseen(candidates, frontier.select("url_hash"))
 
     def _merge_or_create(self, name: str, df: DataFrame, key: str) -> int:
         df = df.persist()

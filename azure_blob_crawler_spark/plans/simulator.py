@@ -20,7 +20,11 @@ from dataclasses import dataclass, field
 from azure_blob_crawler_spark import config
 from azure_blob_crawler_spark.functions.urls import canonical_url_py, url_host_py
 from azure_blob_crawler_spark.operators.admission import MAX_BYTES
-from azure_blob_crawler_spark.sources.synthetic import content_for_url, links_for_url
+from azure_blob_crawler_spark.sources.synthetic import (
+    content_for_url,
+    fetch_ok,
+    links_for_url,
+)
 
 
 @dataclass
@@ -30,6 +34,7 @@ class SimEntry:
     depth: int
     seq: int
     state: str = "pending"
+    attempts: int = 0
 
 
 @dataclass
@@ -86,6 +91,13 @@ def simulate(
                 break
         for rank, e in enumerate(claimed, start=1):
             res.claim_log.append((rnd, rank, e.url))
+            if not fetch_ok(e.url, e.attempts):
+                # abandon path: redelivered with delivery-count++, dead-letter
+                # at MAX_ATTEMPTS (servicebus_processor.py:243-250)
+                e.attempts += 1
+                e.state = "dead" if e.attempts >= config.MAX_ATTEMPTS else "pending"
+                res.states[e.url] = e.state
+                continue
             content, size = content_for_url(e.url, e.depth)
             if size > MAX_BYTES:
                 e.state = "done_skipped"

@@ -207,17 +207,39 @@ def content_for_url(url: str, depth: int) -> tuple[str, int]:
     return content, size
 
 
+def fetch_ok(url: str, attempts: int) -> bool:
+    """Deterministic failure injection (reference retry taxonomy,
+    shared/utils/retry.py + exceptions.py): ~1/23 of URLs fail transiently
+    on their first attempt (abandon → redeliver, attempts+1); ~1/311 fail
+    on every attempt (→ dead-letter at MAX_ATTEMPTS)."""
+    if crc(f"{url}!dead") % 311 == 0:
+        return False
+    if crc(f"{url}!fail") % 23 == 0 and attempts == 0:
+        return False
+    return True
+
+
 def make_fetch_udf():
-    """pandas UDF: (url, depth) -> struct(content, size) — the deterministic
-    stand-in for the reference's blob download (blob_client.py:93-120)."""
+    """pandas UDF: (url, depth, attempts) -> struct(content, size, ok) — the
+    deterministic stand-in for the reference's blob download
+    (blob_client.py:93-120) with failure injection."""
+    from pyspark.sql.types import BooleanType
+
     ret = StructType(
-        [StructField("content", StringType()), StructField("size", LongType())]
+        [
+            StructField("content", StringType()),
+            StructField("size", LongType()),
+            StructField("ok", BooleanType()),
+        ]
     )
 
     @F.pandas_udf(ret)
-    def fetch(urls: pd.Series, depths: pd.Series) -> pd.DataFrame:
-        rows = [content_for_url(u, int(d)) for u, d in zip(urls, depths)]
-        return pd.DataFrame(rows, columns=["content", "size"])
+    def fetch(urls: pd.Series, depths: pd.Series, attempts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for u, d, a in zip(urls, depths, attempts):
+            content, size = content_for_url(u, int(d))
+            rows.append((content, size, fetch_ok(u, int(a))))
+        return pd.DataFrame(rows, columns=["content", "size", "ok"])
 
     return fetch
 

@@ -52,11 +52,17 @@ def test_seen_set_equals_reference(engine_runner, sim_result):
 
 
 def test_terminal_states(engine_runner, sim_result):
-    rows = engine_runner.store.read("frontier").select("url", "state").collect()
+    rows = engine_runner.store.read("frontier").select("url", "state", "attempts").collect()
     engine_states = {r["url"]: r["state"] for r in rows}
-    assert set(engine_states.values()) <= {"done", "done_skipped"}
+    assert set(engine_states.values()) <= {"done", "done_skipped", "dead"}
     for url, st in sim_result.states.items():
         assert engine_states[url] == st
+    # failure injection exercised: some rows retried, dead-letters match sim
+    attempts = {r["url"]: r["attempts"] for r in rows}
+    assert any(a > 0 for a in attempts.values())
+    sim_dead = {u for u, s in sim_result.states.items() if s == "dead"}
+    eng_dead = {u for u, s in engine_states.items() if s == "dead"}
+    assert eng_dead == sim_dead
 
 
 def test_politeness_budget_respected(engine_runner):
