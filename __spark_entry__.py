@@ -41,15 +41,17 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _doc_chunks(spark: SparkSession, sf_dir: str, max_tokens: int = 64) -> DataFrame:
+def _doc_chunks(
+    spark: SparkSession, sf_dir: str, max_tokens: int = 64, embed: bool = True
+) -> DataFrame:
     """documents → interleaved spans → extraction → chunking → embedding.
 
     Small ``max_tokens`` because the synthetic docs are short; the budget
-    path is what the reference exercises at 4000 (chunking.py:58-121)."""
+    path is what the reference exercises at 4000 (chunking.py:58-121).
+    ``embed=False`` skips the embedding UDF for text-only consumers (BM25)."""
     docs = with_extraction(documents_with_spans(spark, sf_dir))
     chunker = make_chunk_doc_udf(max_tokens=max_tokens, overlap_tokens=8)
-    embed = make_embed_udf(EMBED_DIM)
-    return (
+    out = (
         docs.filter(F.trim("full_content") != "")
         .select(
             "doc_id",
@@ -59,8 +61,10 @@ def _doc_chunks(spark: SparkSession, sf_dir: str, max_tokens: int = 64) -> DataF
         )
         .withColumn("chunk_id", F.concat_ws("_", "doc_id", F.lit("chunk"), "chunk_index"))
         .withColumn("n_tokens", TXT.token_count(F.col("content")))
-        .withColumn("vector", embed("content"))
     )
+    if embed:
+        out = out.withColumn("vector", make_embed_udf(EMBED_DIM)("content"))
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -544,7 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_embedding_near_dups"] = q_embedding_near_dups
 
     def q_bm25_search(spark, d):  # rows-only: corpus-statistic scoring
-        chunks = _doc_chunks(spark, d)
+        chunks = _doc_chunks(spark, d, embed=False)
         return Q.text_search(chunks, "spark shuffle partition", top=20).select(
             "chunk_id", F.round("score", 6).alias("score")
         )

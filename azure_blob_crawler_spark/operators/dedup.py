@@ -65,17 +65,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>[n_hashes]) — minhash over word shingles,
     all in the JVM: hash h_i(s) = xxhash64(i, s), sig[i] = min over shingles."""
-    sh = shingles(F.col(text_col), shingle_k)
-
     def hasher(seed: int):
         # one-arg lambda required: a two-arg lambda would be interpreted by
         # transform() as (element, index) and shadow the seed
         return lambda s: F.xxhash64(F.lit(seed), s)
 
-    sig = F.array(
-        *[F.array_min(F.transform(sh, hasher(i))) for i in range(n_hashes)]
+    # materialize the shingle array once as a column — 64 array_min
+    # expressions over one shared array, instead of 64 re-evaluations of the
+    # shingling (Catalyst does not CSE across independent projections)
+    with_sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("__sh")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("__sh"), hasher(i))) for i in range(n_hashes)]
+    )
+    return with_sh.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -101,27 +105,30 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    banded = sigs.select("id", "sig", bands.alias("bb")).select(
-        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    sigs = sigs.persist()
+    # band join carries ids only — the 64-long signatures would otherwise be
+    # shuffled once per band per side; they re-attach to the (much smaller)
+    # deduplicated candidate set below
+    banded = sigs.select("id", bands.alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
     ) / F.lit(float(n_hashes))
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= verify_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

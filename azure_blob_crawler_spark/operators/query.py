@@ -50,6 +50,9 @@ def text_search(
     q_terms = [t for t in _py_tokens(query)]
     if not q_terms:
         return chunks.select(id_col).limit(0).withColumn("score", F.lit(0.0))
+    # BM25 traverses the corpus 3× (stats, postings, result join) — cache the
+    # input so an expensive lineage (e.g. the chunker pipeline) runs once
+    chunks = chunks.persist()
     n_docs = chunks.count()
     avg_len = (
         chunks.select(F.avg(F.size(_tokens(F.col(content_col)))).alias("a")).collect()[0]["a"]
@@ -125,6 +128,7 @@ def hybrid_search(
     """Reciprocal-rank fusion of text + vector rankings
     (search_client.py:298-324 — Azure fuses server-side with RRF;
     score = Σ 1/(k + rank))."""
+    chunks = chunks.persist()  # consumed by both rankers + the result join
     t = text_search(chunks, query_text, top=pool, content_col=content_col, id_col=id_col)
     v = vector_search(
         chunks, query_text=query_text, top=pool, vector_col=vector_col,

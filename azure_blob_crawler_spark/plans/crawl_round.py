@@ -291,8 +291,12 @@ class CrawlRunner:
             "url_hash", "url", "host", "depth", "discovery_seq", "state",
             new_attempts.alias("attempts"),
         )
-        n_skipped = skipped.count()
-        n_failed = failed.count()
+        # one aggregate job for both outcome counts (not two .count() jobs)
+        counts = fetched.agg(
+            F.sum(F.when(F.col("ok") & (F.col("size") > MAX_BYTES), 1).otherwise(0)).alias("s"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("f"),
+        ).collect()[0]
+        n_skipped, n_failed = int(counts["s"] or 0), int(counts["f"] or 0)
         summary = self.store.merge(
             FRONTIER,
             done_states.unionByName(new_rows),
