@@ -59,7 +59,14 @@ class CrawlRunner:
         default_delay: float = config.DEFAULT_CRAWL_DELAY_S,
         embed_dim: int = config.TEST_EMBEDDING_DIM,
         n_buckets: int = config.SEEN_BUCKETS,
+        lock_rounds: bool = True,
+        log_claims: bool = True,
     ):
+        """``lock_rounds`` writes the pending→in_flight lock commit (reference
+        peek-lock parity, servicebus_client.py:154-171); correctness does not
+        require it — a crash replays the whole round idempotently either way
+        — so bulk/bench runs can skip one MERGE per round. ``log_claims``
+        likewise controls the ordering-oracle claim log."""
         self.spark = spark
         self.store = SnapshotStore(spark, store_root)
         self.round_size = round_size
@@ -67,6 +74,8 @@ class CrawlRunner:
         self.default_delay = default_delay
         self.embed_dim = embed_dim
         self.n_buckets = n_buckets
+        self.lock_rounds = lock_rounds
+        self.log_claims = log_claims
         self._fetch = make_fetch_udf()
         self._extract = make_extract_spans_udf()
         self._chunk = make_chunk_doc_udf()
@@ -142,7 +151,10 @@ class CrawlRunner:
         ``next_seq``) — mid-round phase summaries (claim locks, recovery)
         must not advance the round counter, or crash-replay would renumber."""
         for v in range(self.store.current_version(FRONTIER), 0, -1):
-            s = self.store.summary(FRONTIER, v)
+            try:
+                s = self.store.summary(FRONTIER, v)
+            except FileNotFoundError:
+                break  # older snapshots expired; nothing committed beyond this
             if "next_seq" in s:
                 return s
         return {"round": 0, "next_seq": 0}
@@ -163,30 +175,37 @@ class CrawlRunner:
             return {"round": rnd, "claimed": 0, "done": True}
 
         # 1. lock: pending → in_flight (crash before the final commit replays)
-        self.store.merge(
-            FRONTIER,
-            claimed.select(
-                "url_hash", "url", "host", "depth", "discovery_seq",
-                F.lit("in_flight").alias("state"), "attempts",
-            ),
-            summary={"round": rnd, "phase": "claim", "claimed": n_claimed},
-        )
+        if self.lock_rounds:
+            self.store.merge(
+                FRONTIER,
+                claimed.select(
+                    "url_hash", "url", "host", "depth", "discovery_seq",
+                    F.lit("in_flight").alias("state"), "attempts",
+                ),
+                summary={"round": rnd, "phase": "claim", "claimed": n_claimed},
+            )
 
         # 2. claim log (ordering oracle surface)
-        log_rows = claimed.select(
-            F.lit(rnd).alias("round"),
-            F.col("claim_rank").alias("rank"),
-            "url",
-            (F.lit(int(rnd)).cast("long") * F.lit(100_000_000).cast("long")
-             + F.col("claim_rank").cast("long")).alias("log_key"),
-        )
-        self._merge_or_create(CLAIM_LOG, log_rows, key="log_key")
+        if self.log_claims:
+            log_rows = claimed.select(
+                F.lit(rnd).alias("round"),
+                F.col("claim_rank").alias("rank"),
+                "url",
+                (F.lit(int(rnd)).cast("long") * F.lit(100_000_000).cast("long")
+                 + F.col("claim_rank").cast("long")).alias("log_key"),
+            )
+            self._merge_or_create(CLAIM_LOG, log_rows, key="log_key")
 
         # 3. fetch + admission (size gate BEFORE extraction UDFs); fetch
         # failures follow the reference's abandon path (attempts+1, state
         # back to pending, dead-letter at MAX_ATTEMPTS —
-        # servicebus_processor.py:243-250, deploy-infrastructure.ps1:257)
-        fetched = claimed.withColumn("__f", self._fetch("url", "depth", "attempts")).select(
+        # servicebus_processor.py:243-250, deploy-infrastructure.ps1:257).
+        # The claim's global orderBy+limit collapses to ONE partition — spread
+        # the round across the cluster before any per-document UDF runs, or
+        # the whole fetch/extract/chunk/embed pipeline executes on one task.
+        par = self.spark.sparkContext.defaultParallelism
+        work = claimed.repartition(par, "url_hash") if n_claimed > par else claimed
+        fetched = work.withColumn("__f", self._fetch("url", "depth", "attempts")).select(
             "*",
             F.col("__f.content").alias("content"),
             F.col("__f.size").alias("size"),
@@ -218,8 +237,12 @@ class CrawlRunner:
             .withColumn("vector", self._embed("content_chunk"))
             .select("chunk_id", "doc_id", "url", "chunk_index",
                     F.col("content_chunk").alias("content"), "n_tokens", "vector")
-        )
-        n_chunks = self._merge_or_create(CHUNKS, chunks, key="chunk_id")
+        ).persist()  # consumed by the chunks MERGE and the doc_meta rollup
+        n_chunks = chunks.count()
+        if self.store.exists(CHUNKS):
+            self.store.merge(CHUNKS, chunks)
+        elif n_chunks:
+            self.store.create(CHUNKS, chunks, key="chunk_id", n_buckets=self.n_buckets)
 
         # 5. doc metadata (document_processor.py:327-336 analogue)
         meta = (
@@ -235,6 +258,7 @@ class CrawlRunner:
             .withColumn("processed_round", F.lit(rnd))
         )
         self._merge_or_create(DOC_META, meta, key="doc_id")
+        chunks.unpersist()
 
         # 6. discovery: links → canonical → batch-dedup → unseen → new frontier rows
         links = extract_links(

@@ -81,7 +81,10 @@ class SnapshotStore:
     def history(self, name: str) -> list[dict]:
         out = []
         for v in range(1, self.current_version(name) + 1):
-            m = self._manifest(name, v)
+            try:
+                m = self._manifest(name, v)
+            except FileNotFoundError:
+                continue  # expired snapshot
             out.append({"version": v, "summary": m.get("summary", {})})
         return out
 
@@ -94,7 +97,10 @@ class SnapshotStore:
     def _write_buckets(self, name: str, df: DataFrame, version: int) -> str:
         rel = os.path.join("data", f"v{version:06d}")
         out = os.path.join(self._tdir(name), rel)
-        df.write.mode("overwrite").partitionBy("__bucket").parquet(out)
+        # cluster rows by bucket before the partitioned write: without this,
+        # every task fans out one file per bucket (tasks × buckets small
+        # files per commit); with it, one file per bucket
+        df.repartition("__bucket").write.mode("overwrite").partitionBy("__bucket").parquet(out)
         return rel
 
     def _bucket_paths(self, name: str, manifest: dict, buckets=None) -> list[str]:
@@ -242,3 +248,40 @@ class SnapshotStore:
         m = self._manifest(name, version)
         m = dict(m, version=self.current_version(name) + 1, summary={"rollback_to": version})
         self._commit(name, m)
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> dict:
+        """Iceberg ``expireSnapshots`` parity (and the reference's
+        delete-after-processing GC, document_processor.py:344-358): drop all
+        but the last ``keep_last`` manifests and delete data directories no
+        kept manifest references. Readers of kept versions are unaffected —
+        file reuse means a bucket dir may serve many snapshots, so liveness
+        is computed over the union of kept manifests."""
+        import shutil
+
+        tdir = self._tdir(name)
+        current = self.current_version(name)
+        keep = set(range(max(1, current - keep_last + 1), current + 1))
+        live_dirs: set[str] = set()
+        for v in keep:
+            for rel in self._manifest(name, v)["buckets"].values():
+                # bucket paths look like data/v000007/__bucket=3
+                live_dirs.add(rel.split("/__bucket=")[0])
+        removed_files = removed_manifests = 0
+        data_root = os.path.join(tdir, "data")
+        if os.path.isdir(data_root):
+            for entry in os.listdir(data_root):
+                rel = os.path.join("data", entry)
+                if rel not in live_dirs:
+                    shutil.rmtree(os.path.join(data_root, entry), ignore_errors=True)
+                    removed_files += 1
+        for v in range(1, current + 1):
+            if v not in keep:
+                path = os.path.join(tdir, f"v{v:06d}.json")
+                if os.path.exists(path):
+                    os.remove(path)
+                    removed_manifests += 1
+        return {
+            "kept_versions": sorted(keep),
+            "removed_data_dirs": removed_files,
+            "removed_manifests": removed_manifests,
+        }

@@ -74,6 +74,39 @@ def test_delete(spark, tmp_path):
     assert got.agg(F.min("k")).collect()[0][0] == 50
 
 
+def test_expire_snapshots(spark, tmp_path):
+    st = make_store(spark, tmp_path)
+    st.create("t", base_df(spark, 200), key="k", n_buckets=4)
+    for i in range(4):
+        st.merge(
+            "t",
+            spark.range(i, i + 1).select(
+                F.col("id").alias("k"), F.lit(-i).alias("v"), F.lit("x").alias("s")
+            ),
+            summary={"round": i + 1},
+        )
+    before = sorted(st.read("t").collect())
+    res = st.expire_snapshots("t", keep_last=2)
+    assert res["removed_manifests"] == 3  # v1..v3 gone, v4..v5 kept
+    # current data unchanged; expired version unreadable; kept version readable
+    assert sorted(st.read("t").collect()) == before
+    assert st.read("t", version=4).count() == 200
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        st.read("t", version=1)
+    # history skips expired versions
+    assert [h["version"] for h in st.history("t")] == [4, 5]
+    # further merges still work after GC
+    st.merge(
+        "t",
+        spark.range(500, 505).select(
+            F.col("id").alias("k"), F.lit(9).alias("v"), F.lit("y").alias("s")
+        ),
+    )
+    assert st.read("t").count() == 205
+
+
 def test_time_travel_and_summary(spark, tmp_path):
     st = make_store(spark, tmp_path)
     st.create("t", base_df(spark), key="k", n_buckets=4, summary={"round": 0})
