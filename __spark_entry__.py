@@ -575,6 +575,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ivf_topk"] = q_ivf_topk
 
+    def q_claim_oracle(spark, d):
+        """Politeness claim over a documents-derived frontier — the scheduler
+        operator checked against pure SQL windows in DuckDB."""
+        from azure_blob_crawler_spark.functions.urls import url_hash, url_host
+        from azure_blob_crawler_spark.operators.scheduler import claim_round
+
+        docs = T(spark, d, "documents").select("doc_id", _url_col().alias("u"))
+        frontier = (
+            docs.select(
+                canonical_url("u").alias("url"),
+                (F.col("doc_id") % 3).cast("int").alias("depth"),
+                F.col("doc_id").alias("discovery_seq"),
+            )
+            .withColumn("host", url_host(F.col("url")))
+            .withColumn("url_hash", url_hash(F.col("url")))
+            .withColumn("state", F.lit("pending"))
+            .withColumn("attempts", F.lit(0))
+        )
+        host_id = F.regexp_extract("host", r"host(\d+)", 1).cast("int")
+        robots = (
+            frontier.select("host", host_id.alias("hid"))
+            .distinct()
+            .select(
+                "host",
+                F.when(F.col("hid") == 0, 5.0)
+                .when(F.col("hid") % 7 == 0, 0.5)
+                .otherwise(F.lit(None).cast("double"))
+                .alias("crawl_delay_s"),
+            )
+        )
+        claimed = claim_round(frontier, robots, round_size=100, round_seconds=10.0)
+        return claimed.select("claim_rank", "url", "host", "depth")
+
+    q["q_claim_oracle"] = q_claim_oracle
+
     def q_frontier_claim(spark, d):  # rows-only: scheduler (ordering pinned in tests)
         from azure_blob_crawler_spark.functions.urls import url_hash, url_host
         from azure_blob_crawler_spark.operators.scheduler import claim_round
@@ -863,6 +898,39 @@ def oracle_sql() -> dict[str, str]:
             from embeddings a join embeddings b on a.vec_id < b.vec_id
             where a.vec_id < 40 and b.vec_id < 40
               and round({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.15
+        """,
+        "q_claim_oracle": f"""
+            with frontier as (
+                select canon as url,
+                       cast(doc_id % 3 as int) as depth,
+                       doc_id as discovery_seq,
+                       split_part(split_part(canon, '://', 2), '/', 1) as host
+                from ({canon_sub})
+            ),
+            budgeted as (
+                select *,
+                       cast(regexp_extract(host, 'host(\\d+)', 1) as int) as hid
+                from frontier
+            ),
+            ranked as (
+                select url, host, depth, discovery_seq,
+                       greatest(cast(floor(10.0 / (case when hid = 0 then 5.0
+                                                        when hid % 7 = 0 then 0.5
+                                                        else 1.0 end)) as int), 1)
+                           as host_budget,
+                       row_number() over (partition by host
+                                          order by depth, discovery_seq, url) as host_rank
+                from budgeted
+            ),
+            eligible as (
+                select * from ranked where host_rank <= host_budget
+                order by depth, discovery_seq, url
+                limit 100
+            )
+            select cast(row_number() over (order by depth, discovery_seq, url) as int)
+                       as claim_rank,
+                   url, host, depth
+            from eligible
         """,
         "q_span_counts": """
             select doc_id,
