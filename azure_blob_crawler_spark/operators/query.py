@@ -16,7 +16,6 @@ functions against a broadcast query vector, RRF as two rank windows.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F

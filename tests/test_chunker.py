@@ -2,7 +2,6 @@
 (reference chunking.py:58-271 semantics, regex-lexer tokenizer)."""
 
 import pandas as pd
-from pyspark.sql import functions as F
 
 from azure_blob_crawler_spark.operators.chunker import (
     chunk_pages,

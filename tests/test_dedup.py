@@ -1,7 +1,6 @@
 """Dedup suite: exact, minhash-LSH, simhash, embedding near-dup, plus the
 text-analysis functions they build on."""
 
-import pandas as pd
 from pyspark.sql import functions as F
 
 from azure_blob_crawler_spark.functions import text as TXT

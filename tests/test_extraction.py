@@ -3,7 +3,6 @@ invariant (kind, text, media_ref, order), full-content reassembly."""
 
 import json
 
-from pyspark.sql import functions as F
 
 from azure_blob_crawler_spark import config
 from azure_blob_crawler_spark.operators.admission import split_admission

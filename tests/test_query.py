@@ -3,7 +3,6 @@ clamps / field selection / vector exclusion / wildcard — the reference's
 MCP semantics (SURVEY.md §2.8)."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from azure_blob_crawler_spark import config
 from azure_blob_crawler_spark.functions.embedding import embed_query, make_embed_udf

@@ -2,7 +2,6 @@
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from azure_blob_crawler_spark.operators import multimodal as MM
 from azure_blob_crawler_spark.operators import similarity as SIM
