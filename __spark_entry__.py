@@ -395,6 +395,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sessionize"] = q_sessionize
 
+    def q_json_extract(spark, d):
+        """JSON scalar extraction (reference flattens JSON during extraction,
+        file_extractor.py:206-234; here the typed path: parse + aggregate)."""
+        ev = T(spark, d, "events")
+        k = F.get_json_object("props", "$.k").cast("int")
+        return ev.groupBy("event_type").agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.count("*").alias("n"),
+        )
+
+    q["q_json_extract"] = q_json_extract
+
+    def q_math_funcs(spark, d):
+        p = T(spark, d, "part")
+        return p.select(
+            "p_partkey",
+            F.round(F.sqrt("p_retailprice"), 6).alias("sq"),
+            F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+            F.round(F.pow(F.col("p_size").cast("double"), 2.0), 4).alias("size_sq"),
+            F.abs(F.col("p_size") - 25).alias("size_dev"),
+            F.pmod(F.col("p_partkey"), F.lit(7)).alias("k7"),
+        )
+
+    q["q_math_funcs"] = q_math_funcs
+
+    def q_array_funcs(spark, d):
+        emb = T(spark, d, "embeddings")
+        v = F.col("embedding")
+        head = F.slice(v, 1, 8)
+        return emb.select(
+            "vec_id",
+            F.size(v).alias("dim"),
+            F.round(
+                F.aggregate(head, F.lit(0.0), lambda a, x: a + x.cast("double")), 6
+            ).alias("head_sum"),
+            F.round(F.array_max(v).cast("double"), 6).alias("vmax"),
+            F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        )
+
+    q["q_array_funcs"] = q_array_funcs
+
     # --- crawl-shaped ops (§2.2 projections, §2.1 admission) ---
 
     def q_url_canonicalize(spark, d):
@@ -898,6 +940,32 @@ def oracle_sql() -> dict[str, str]:
             from embeddings a join embeddings b on a.vec_id < b.vec_id
             where a.vec_id < 40 and b.vec_id < 40
               and round({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.15
+        """,
+        "q_json_extract": """
+            select event_type,
+                   round(avg(cast(json_extract_string(props, '$.k') as int)), 4) as avg_k,
+                   max(cast(json_extract_string(props, '$.k') as int)) as max_k,
+                   count(*) as n
+            from events
+            group by event_type
+        """,
+        "q_math_funcs": """
+            select p_partkey,
+                   round(sqrt(p_retailprice), 6) as sq,
+                   round(ln(p_retailprice), 6) as ln_price,
+                   round(pow(p_size::double, 2.0), 4) as size_sq,
+                   abs(p_size - 25) as size_dev,
+                   p_partkey % 7 as k7
+            from part
+        """,
+        "q_array_funcs": """
+            select vec_id,
+                   len(embedding) as dim,
+                   round(list_sum(list_transform(embedding[1:8], x -> x::double)), 6)
+                       as head_sum,
+                   round(list_max(embedding)::double, 6) as vmax,
+                   len(list_filter(embedding, x -> x > 0)) as n_pos
+            from embeddings
         """,
         "q_claim_oracle": f"""
             with frontier as (
