@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from azure_blob_crawler_spark import config
 from azure_blob_crawler_spark.functions import text as TXT
-from azure_blob_crawler_spark.functions.embedding import make_embed_udf
+from azure_blob_crawler_spark.functions.embedding import make_embed_udf, truncate_for_embedding
 from azure_blob_crawler_spark.functions.urls import canonical_url, canonicalize_sql
 from azure_blob_crawler_spark.functions.vectors import cosine, cosine_sql
 from azure_blob_crawler_spark.operators import dedup as DD
@@ -63,7 +63,9 @@ def _doc_chunks(
         .withColumn("n_tokens", TXT.token_count(F.col("content")))
     )
     if embed:
-        out = out.withColumn("vector", make_embed_udf(EMBED_DIM)("content"))
+        out = out.withColumn(
+            "vector", make_embed_udf(EMBED_DIM)(truncate_for_embedding(F.col("content")))
+        )
     return out
 
 
@@ -552,20 +554,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_span_counts"] = q_span_counts
 
-    def q_chunk_stats(spark, d):  # rows-only: chunker UDF not SQL-expressible
-        return (
-            _doc_chunks(spark, d)
+    def q_chunk_stats(spark, d):
+        """Chunker invariants as oracle-checkable booleans (the exact chunk
+        boundaries are UDF logic pinned by 9 pytest behaviors + hypothesis;
+        SQL can still VERIFY the per-doc contract): every nonempty doc gets
+        ≥1 chunk, every chunk respects budget+overlap (the documented true
+        bound, tests/test_property.py), and the chunk set covers the doc
+        on WORD counts, because the sentence splitter consumes terminator
+        tokens (chunking.py:187 parity) but never drops a word."""
+        docs = with_extraction(documents_with_spans(spark, d)).select(
+            "doc_id", TXT.word_count(F.col("full_content")).alias("doc_words")
+        )
+        stats = (
+            _doc_chunks(spark, d, embed=False)
+            .withColumn("n_words", TXT.word_count(F.col("content")))
             .groupBy("doc_id")
             .agg(
                 F.count("*").alias("n_chunks"),
-                F.sum("n_tokens").alias("total_tokens"),
+                F.sum("n_words").alias("total_words"),
                 F.max("n_tokens").alias("max_chunk_tokens"),
+            )
+        )
+        return (
+            docs.join(stats, "doc_id", "left")
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                (F.coalesce("n_chunks", F.lit(0)) >= 1).alias("has_chunks"),
+                (F.coalesce("max_chunk_tokens", F.lit(0)) <= 64 + 8).alias("within_budget"),
+                (F.coalesce("total_words", F.lit(0)) >= F.col("doc_words")).alias(
+                    "covers_content"
+                ),
             )
         )
 
     q["q_chunk_stats"] = q_chunk_stats
 
-    def q_minhash_dedup(spark, d):  # rows-only: xxhash64 minhash
+    def q_minhash_dedup(spark, d):  # rows-only: xxhash64 minhash (recall is
+        # oracle-checked by q_minhash_recall; this exercises the full
+        # drop-near-dups operator surface)
         t = T(spark, d, "documents")
         return DD.minhash_dedup(t, "text", "doc_id", threshold=0.4).select(
             "doc_id", "lang", "n_chars"
@@ -573,40 +599,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_minhash_dedup"] = q_minhash_dedup
 
-    def q_simhash_pairs(spark, d):  # rows-only: simhash UDF
-        sigs = DD.simhash_signatures(T(spark, d, "documents"), "text", "doc_id")
-        return DD.simhash_pairs(sigs, max_hamming=8)
+    def q_minhash_recall(spark, d):
+        """Candidate-recall oracle for minhash LSH: every exact-Jaccard pair
+        ≥ 0.7 (SQL-computable ground truth over 5-shingles) must appear in
+        the LSH candidate set. 32 bands × 2 rows ⇒ per-pair band-miss ≈ 4e-9
+        at j=0.7, and the 0.3 estimate gate is >5σ below the j=0.7 mean, so
+        the semi-join equals the exact pair list."""
+        t = T(spark, d, "documents").filter(F.col("doc_id") < 500)
+        sa = t.select(
+            F.col("doc_id").alias("id_a"),
+            F.array_distinct(DD.shingles(F.col("text"), 5)).alias("sha"),
+        )
+        sb = t.select(
+            F.col("doc_id").alias("id_b"),
+            F.array_distinct(DD.shingles(F.col("text"), 5)).alias("shb"),
+        )
+        jac = F.size(F.array_intersect("sha", "shb")) / F.size(F.array_union("sha", "shb"))
+        exact = (
+            sa.crossJoin(sb)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("jac", jac)
+            .filter(F.col("jac") >= 0.7)
+            .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+        )
+        sigs = DD.minhash_signatures(t, "text", "doc_id", n_hashes=64, shingle_k=5)
+        cand = DD.minhash_lsh_pairs(sigs, n_bands=32, n_hashes=64, verify_threshold=0.3)
+        return exact.join(cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+
+    q["q_minhash_recall"] = q_minhash_recall
+
+    def q_simhash_pairs(spark, d):
+        """COMPLETE hamming-≤8 pair set over md5-derived native simhash
+        signatures (dual-dialect: the oracle recomputes the signatures in
+        DuckDB and brute-forces the pairs — the banded join must match it
+        exactly, which the 9-block pigeonhole guarantees)."""
+        sigs = DD.simhash_signatures_native(
+            T(spark, d, "documents").filter(F.col("doc_id") < 200), "text", "doc_id"
+        )
+        return DD.simhash_pairs(sigs, max_hamming=8).select(
+            "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+        )
 
     q["q_simhash_pairs"] = q_simhash_pairs
 
-    def q_embedding_near_dups(spark, d):  # rows-only: LSH bucketing
-        # plant exact duplicates (vec_id + 100000) so the LSH path provably
-        # recovers each (i, i+100000) pair at cos=1.0
+    def q_embedding_near_dups(spark, d):
+        """Banded hyperplane LSH (16×8) vs the brute-force cosine oracle:
+        planted exact dups AND any natural ≥0.99 pairs must all surface —
+        the oracle is the full exact pair list, so a recall hole fails the
+        row (round-1 fix: single-band recall was ~50%)."""
         emb = T(spark, d, "embeddings").select("vec_id", "embedding")
         planted = emb.withColumn("vec_id", F.col("vec_id") + 100_000)
-        pairs = DD.embedding_near_dups(emb.union(planted), threshold=0.99, dim=EMBED_DIM)
+        pairs = DD.embedding_near_dups(
+            emb.union(planted), threshold=0.99, dim=EMBED_DIM, n_bands=16, band_bits=8
+        )
         return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
     q["q_embedding_near_dups"] = q_embedding_near_dups
 
-    def q_bm25_search(spark, d):  # rows-only: corpus-statistic scoring
-        chunks = _doc_chunks(spark, d, embed=False)
-        return Q.text_search(chunks, "spark shuffle partition", top=20).select(
-            "chunk_id", F.round("score", 6).alias("score")
+    def q_bm25_search(spark, d):
+        """Full BM25 score set over the documents table — exact SQL twin in
+        DuckDB (idf/tf-norm formula inlined); no top-k so boundary ties
+        can't flip membership."""
+        corpus = T(spark, d, "documents").select(
+            F.col("doc_id").cast("string").alias("chunk_id"), F.col("text").alias("content")
         )
+        scored = Q.bm25_scores(corpus, "spark merge shuffle")
+        return scored.select("chunk_id", F.round("score", 4).alias("score"))
 
     q["q_bm25_search"] = q_bm25_search
 
-    def q_hybrid_search(spark, d):  # rows-only: RRF over engine chunks
-        chunks = _doc_chunks(spark, d)
-        return Q.run_query(
-            chunks, query_text="merge snapshot commit", search_type="hybrid",
-            top=20, embed_dim=EMBED_DIM,
-        ).select("chunk_id", F.round("score", 6).alias("score"))
+    def q_hybrid_search(spark, d):
+        """RRF fusion over documents (BM25 leg) + embeddings (cosine leg,
+        query = embeddings[vec_id=1]), ranks on round(score, 4) so rank
+        order is engine-independent; full SQL twin in DuckDB."""
+        docs = T(spark, d, "documents").select(
+            F.col("doc_id").cast("string").alias("chunk_id"),
+            F.col("text").alias("content"),
+        )
+        emb = T(spark, d, "embeddings").select(
+            F.col("vec_id").cast("string").alias("chunk_id"),
+            F.col("embedding").alias("vector"),
+        )
+        corpus = docs.join(emb, "chunk_id")
+        qv = [
+            float(x)
+            for x in T(spark, d, "embeddings")
+            .filter(F.col("vec_id") == 1)
+            .select("embedding")
+            .collect()[0][0]
+        ]
+        out = Q.hybrid_search(
+            corpus, "spark merge shuffle", top=20, query_vector=qv,
+            pool=None, rank_rounding=4,
+        )
+        return out.select("chunk_id", F.round("score", 6).alias("score"))
 
     q["q_hybrid_search"] = q_hybrid_search
 
-    def q_ivf_topk(spark, d):  # rows-only: ANN scale path (IVF probe)
+    def q_ivf_topk(spark, d):  # rows-only: centroids are data-driven
+        # (numpy k-means on a sample), so no SQL twin exists; recall vs
+        # brute force is pinned by tests/test_similarity_multimodal.py
         emb = T(spark, d, "embeddings")
         cents = SIM.train_centroids(emb, n_cells=8, sample=512)
         qv = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
@@ -652,25 +744,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_claim_oracle"] = q_claim_oracle
 
-    def q_frontier_claim(spark, d):  # rows-only: scheduler (ordering pinned in tests)
+    def q_frontier_claim(spark, d):
+        """Politeness claim under HOT-HOST SKEW (30% of the frontier on one
+        host) — the salted two-phase scheduler window vs plain SQL windows
+        in DuckDB. Host map: doc_id%10<3 → hot host h0 (budget 2), others
+        spread over 49 hosts (default budget 10)."""
         from azure_blob_crawler_spark.functions.urls import url_hash, url_host
         from azure_blob_crawler_spark.operators.scheduler import claim_round
-        from azure_blob_crawler_spark.sources.synthetic import robots_df, seed_frontier_df
 
-        seeds = seed_frontier_df(spark, 5000)
+        docs = T(spark, d, "documents")
+        hid = F.when(F.col("doc_id") % 10 < 3, F.lit(0)).otherwise(
+            1 + F.pmod(F.col("doc_id") * 2654435761, F.lit(49))
+        )
+        url = F.concat(
+            F.lit("https://h"), hid.cast("string"), F.lit(".example.com/p/doc"),
+            F.col("doc_id").cast("string"), F.lit(".txt"),
+        )
         frontier = (
-            seeds.withColumn("url", canonical_url("url"))
+            docs.select(
+                canonical_url(url).alias("url"),
+                (F.col("doc_id") % 3).cast("int").alias("depth"),
+                F.col("doc_id").alias("discovery_seq"),
+            )
             .withColumn("host", url_host(F.col("url")))
             .withColumn("url_hash", url_hash(F.col("url")))
-            .dropDuplicates(["url_hash"])
             .withColumn("state", F.lit("pending"))
             .withColumn("attempts", F.lit(0))
         )
-        return claim_round(frontier, robots_df(spark), round_size=200).select(
+        robots = (
+            frontier.select("host")
+            .distinct()
+            .select(
+                "host",
+                F.when(F.col("host") == "h0.example.com", 5.0)
+                .otherwise(F.lit(None).cast("double"))
+                .alias("crawl_delay_s"),
+            )
+        )
+        return claim_round(frontier, robots, round_size=150, round_seconds=10.0).select(
             "claim_rank", "url", "host", "depth"
         )
 
     q["q_frontier_claim"] = q_frontier_claim
+
+    def q_grouping_sets(spark, d):
+        o = T(spark, d, "orders")
+        o.createOrReplaceTempView("orders_gs")
+        return spark.sql(
+            """
+            select coalesce(o_orderstatus, 'ALL') as status,
+                   coalesce(o_orderpriority, 'ALL') as prio,
+                   count(*) as n, round(sum(o_totalprice), 4) as sum_price
+            from orders_gs
+            group by grouping sets ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+            """
+        )
+
+    q["q_grouping_sets"] = q_grouping_sets
+
+    def q_odata_filter(spark, d):
+        """OData filter translation in the full query path (reference
+        search_client.py:257-263 / app.py:90-101): wildcard match-all scan
+        gated by an eq/gt/and filter."""
+        corpus = T(spark, d, "documents").select(
+            F.col("doc_id").cast("string").alias("chunk_id"),
+            F.col("text").alias("content"), "lang", "n_chars",
+        )
+        return Q.run_query(
+            corpus, query_text="*", search_type="text",
+            odata_filter="lang eq 'en' and n_chars gt 500",
+            select_fields=["chunk_id", "lang", "n_chars"],
+        )
+
+    q["q_odata_filter"] = q_odata_filter
+
+    def q_workitem_parse(spark, d):
+        """Queue wire-format ingestion (servicebus_processor.py:181-203):
+        Event Grid array / direct dict / single event messages, built
+        deterministically from documents, parsed to (container, blob)."""
+        from azure_blob_crawler_spark.operators.ingest import parse_work_items
+
+        docs = T(spark, d, "documents")
+        url = F.concat(
+            F.lit('https://acct.blob.core.windows.net/cont'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("/dir/doc"), F.col("doc_id").cast("string"), F.lit(".txt"),
+        )
+        body = (
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit('[{"data":{"url":"'), url, F.lit('"}}]')),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit('{"blob_name":"dir/doc'), F.col("doc_id").cast("string"),
+                    F.lit('.txt","container_name":"cont'),
+                    (F.col("doc_id") % 5).cast("string"), F.lit('"}'),
+                ),
+            )
+            .otherwise(F.concat(F.lit('{"data":{"url":"'), url, F.lit('"}}')))
+        )
+        msgs = docs.select("doc_id", body.alias("body"))
+        return parse_work_items(msgs).select(
+            "doc_id", "msg_format", "container_name", "blob_name"
+        )
+
+    q["q_workitem_parse"] = q_workitem_parse
 
     return q
 
@@ -680,7 +860,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+def _bm25_sql_ctes(terms: list[str]) -> str:
+    """Shared BM25 CTE block (tok → stats → tf → dft → tscore) replicating
+    operators/query.bm25_scores arithmetic exactly (k1=1.2, b=0.75, natural
+    log; avg_len = Σlen/count like Spark's integral Average)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        tok as (
+            select doc_id, regexp_extract_all(lower(text), '\\w{{1,8}}|[^\\w\\s]') as ts
+            from documents
+        ),
+        stats as (
+            select count(*)::double as n_docs,
+                   sum(len(ts))::double / count(*) as avg_len
+            from tok
+        ),
+        post as (
+            select doc_id, len(ts) as doc_len, unnest(ts) as term from tok
+        ),
+        tf as (
+            select doc_id, term, doc_len, count(*)::double as tf
+            from post where term in ({in_list})
+            group by 1, 2, 3
+        ),
+        dft as (select term, count(distinct doc_id)::double as df from tf group by 1),
+        tscore as (
+            select cast(doc_id as varchar) as chunk_id,
+                   sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * doc_len / avg_len)) )
+                       as score
+            from tf join dft using (term) cross join stats
+            group by doc_id
+        )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    from azure_blob_crawler_spark.operators.dedup import simhash_native_sql
+    from azure_blob_crawler_spark.operators.ingest import workitem_parse_sql
+
     tok = TXT.token_count_sql("text")
     wc = TXT.word_count_sql("text")
     sc = TXT.sentence_count_sql("text")
@@ -689,6 +907,11 @@ def oracle_sql() -> dict[str, str]:
         "u", "duckdb",
         from_clause=f"(select doc_id, {_URL_SQL} as u from documents)",
     )
+
+    simhash_sigs = simhash_native_sql(
+        "text", "(select doc_id, text from documents where doc_id < 200)"
+    )
+    wi = workitem_parse_sql("body")
 
     return {
         "q1_pricing_summary": """
@@ -1011,5 +1234,153 @@ def oracle_sql() -> dict[str, str]:
                        1)
                    end as n_spans
             from documents
+        """,
+        # chunker invariant oracle: the boolean contract every doc must
+        # satisfy (exact boundaries are pinned by pytest+hypothesis; a
+        # violation on real data fails this row)
+        "q_chunk_stats": """
+            select doc_id, true as has_chunks, true as within_budget,
+                   true as covers_content
+            from documents
+        """,
+        "q_minhash_recall": """
+            with w as (
+                select doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') as ws
+                from documents where doc_id < 500
+            ),
+            sh as (
+                select doc_id,
+                       case when len(ws) < 5 then [array_to_string(ws, ' ')]
+                            else list_transform(range(1, len(ws) - 5 + 2),
+                                                i -> array_to_string(ws[i:i+4], ' '))
+                       end as s
+                from w
+            ),
+            ds as (select doc_id, list_distinct(s) as s from sh)
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   round(len(list_intersect(a.s, b.s))::double
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) as jac
+            from ds a join ds b on a.doc_id < b.doc_id
+            where len(list_intersect(a.s, b.s))::double
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        """,
+        "q_simhash_pairs": f"""
+            with s as ({simhash_sigs})
+            select a.id as id_a, b.id as id_b,
+                   bit_count(xor(a.sim, b.sim))::int as hamming
+            from s a join s b on a.id < b.id
+            where bit_count(xor(a.sim, b.sim)) <= 8
+        """,
+        "q_embedding_near_dups": f"""
+            with u as (
+                select vec_id, embedding from embeddings
+                union all
+                select vec_id + 100000 as vec_id, embedding from embeddings
+            )
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round({cosine_sql('a.embedding', 'b.embedding')}, 6) as cos_sim
+            from u a join u b on a.vec_id < b.vec_id
+            where {cosine_sql('a.embedding', 'b.embedding')} >= 0.99
+        """,
+        "q_bm25_search": f"""
+            with {_bm25_sql_ctes(['spark', 'merge', 'shuffle'])}
+            select chunk_id, round(score, 4) as score from tscore
+        """,
+        "q_hybrid_search": f"""
+            with {_bm25_sql_ctes(['spark', 'merge', 'shuffle'])},
+            tr as (
+                select chunk_id,
+                       row_number() over (order by round(score, 4) desc, chunk_id asc)
+                           as rank_text
+                from tscore
+            ),
+            qv as (select embedding as q from embeddings where vec_id = 1),
+            vscore as (
+                select cast(vec_id as varchar) as chunk_id,
+                       {cosine_sql('embedding', 'q')} as score
+                from embeddings, qv
+            ),
+            vr as (
+                select chunk_id,
+                       row_number() over (order by round(score, 4) desc, chunk_id asc)
+                           as rank_vec
+                from vscore
+            ),
+            fused as (
+                select coalesce(tr.chunk_id, vr.chunk_id) as chunk_id,
+                       coalesce(1.0 / (60 + rank_text), 0.0)
+                       + coalesce(1.0 / (60 + rank_vec), 0.0) as score
+                from tr full outer join vr on tr.chunk_id = vr.chunk_id
+            )
+            select chunk_id, round(score, 6) as score from fused
+            order by score desc, chunk_id asc limit 20
+        """,
+        "q_frontier_claim": """
+            with frontier as (
+                select 'https://h' || cast(hid as varchar) || '.example.com/p/doc'
+                           || cast(doc_id as varchar) || '.txt' as url,
+                       cast(doc_id % 3 as int) as depth,
+                       doc_id as discovery_seq,
+                       'h' || cast(hid as varchar) || '.example.com' as host,
+                       hid
+                from (select doc_id,
+                             case when doc_id % 10 < 3 then 0
+                                  else 1 + (doc_id * 2654435761) % 49 end as hid
+                      from documents)
+            ),
+            ranked as (
+                select url, host, depth, discovery_seq,
+                       greatest(cast(floor(10.0 / (case when hid = 0 then 5.0
+                                                        else 1.0 end)) as int), 1)
+                           as host_budget,
+                       row_number() over (partition by host
+                                          order by depth, discovery_seq, url) as host_rank
+                from frontier
+            ),
+            eligible as (
+                select * from ranked where host_rank <= host_budget
+                order by depth, discovery_seq, url
+                limit 150
+            )
+            select cast(row_number() over (order by depth, discovery_seq, url) as int)
+                       as claim_rank,
+                   url, host, depth
+            from eligible
+        """,
+        "q_grouping_sets": """
+            select coalesce(o_orderstatus, 'ALL') as status,
+                   coalesce(o_orderpriority, 'ALL') as prio,
+                   count(*) as n, round(sum(o_totalprice), 4) as sum_price
+            from orders
+            group by grouping sets ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+        """,
+        "q_odata_filter": """
+            select cast(doc_id as varchar) as chunk_id, lang, n_chars,
+                   1.0::double as score
+            from documents
+            where lang = 'en' and n_chars > 500
+        """,
+        "q_workitem_parse": f"""
+            with m as (
+                select doc_id,
+                       case when doc_id % 3 = 0
+                                then '[{{"data":{{"url":"' || u || '"}}}}]'
+                            when doc_id % 3 = 1
+                                then '{{"blob_name":"dir/doc' || cast(doc_id as varchar)
+                                     || '.txt","container_name":"cont'
+                                     || cast(doc_id % 5 as varchar) || '"}}'
+                            else '{{"data":{{"url":"' || u || '"}}}}' end as body
+                from (select doc_id,
+                             'https://acct.blob.core.windows.net/cont'
+                             || cast(doc_id % 5 as varchar) || '/dir/doc'
+                             || cast(doc_id as varchar) || '.txt' as u
+                      from documents)
+            )
+            select doc_id, {wi['msg_format']} as msg_format,
+                   {wi['container_name']} as container_name,
+                   {wi['blob_name']} as blob_name
+            from m
+            where {wi['msg_format']} is not null
         """,
     }

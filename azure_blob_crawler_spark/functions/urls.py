@@ -50,9 +50,19 @@ def _steps(dialect: str) -> list[tuple[str, str]]:
     # scheme / rest split on '://' (input contract: absolute URLs)
     steps.append(("sch", "lower(split_part(u1, '://', 1))"))
     steps.append(("rest", "substr(u1, length(sch) + 4)"))
-    # authority = up to first '/', lowercased, default ports dropped
+    # authority = up to first '/', lowercased; the SCHEME'S default port is
+    # dropped (http://h:443 and http://h are different origins — keep :443)
     steps.append(("authraw", "split_part(rest, '/', 1)"))
-    steps.append(("auth", _rx("lower(authraw)", ":(80|443)$", "", dialect)))
+    steps.append(
+        (
+            "auth",
+            "case when sch = 'http' then "
+            + _rx("lower(authraw)", ":80$", "", dialect)
+            + " when sch = 'https' then "
+            + _rx("lower(authraw)", ":443$", "", dialect)
+            + " else lower(authraw) end",
+        )
+    )
     # path+query = what follows the authority ('' when nothing does)
     steps.append(("pq", "substr(rest, length(authraw) + 1)"))
     # path vs query
@@ -138,7 +148,12 @@ def canonical_url(url: Column | str) -> Column:
     """
     u = F.trim(F.col(url) if isinstance(url, str) else url)
     sch = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
-    auth = F.regexp_replace(F.lower(F.parse_url(u, F.lit("AUTHORITY"))), ":(80|443)$", "")
+    auth_l = F.lower(F.parse_url(u, F.lit("AUTHORITY")))
+    auth = (
+        F.when(sch == "http", F.regexp_replace(auth_l, ":80$", ""))
+        .when(sch == "https", F.regexp_replace(auth_l, ":443$", ""))
+        .otherwise(auth_l)
+    )
     path = _normalize_path(F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")))
     qry = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
     qpart = F.when(qry != "", F.concat(F.lit("?"), qry)).otherwise(F.lit(""))
@@ -171,10 +186,9 @@ def canonical_url_py(url: str) -> str:
     else:
         auth, pq = rest[:slash], rest[slash:]
     auth = auth.lower()
-    for port in (":80", ":443"):
-        if auth.endswith(port):
-            auth = auth[: -len(port)]
-            break
+    default_port = {"http": ":80", "https": ":443"}.get(scheme)
+    if default_port and auth.endswith(default_port):
+        auth = auth[: -len(default_port)]
     path, _, qry = pq.partition("?")
     segs: list[str] = []
     for seg in path.split("/"):

@@ -41,18 +41,45 @@ def count_tokens(text: str) -> int:
     return len(_TOKEN_RE.findall(text))
 
 
+def make_counter(tokenizer: str = "lexer"):
+    """Token-counter factory. ``'tiktoken'`` uses cl100k_base exactly like
+    the reference (chunking.py:37-56) when the package is importable, with
+    the reference's char/4 estimate on encode failure (settings.py:77); the
+    container ships no tiktoken, so it degrades to the deterministic regex
+    lexer — the contract queries and fixtures pin the lexer explicitly so
+    oracle results never depend on which tokenizer is installed."""
+    if tokenizer == "tiktoken":
+        try:
+            import tiktoken  # noqa: PLC0415
+
+            enc = tiktoken.get_encoding("cl100k_base")
+
+            def count(text: str) -> int:
+                try:
+                    return len(enc.encode(text))
+                except Exception:  # noqa: BLE001 — reference chunking.py:52-56
+                    return max(1, len(text) // config.FALLBACK_CHARS_PER_TOKEN)
+
+            return count
+        except ImportError:
+            return count_tokens
+    if tokenizer != "lexer":
+        raise ValueError(f"unknown tokenizer: {tokenizer}")
+    return count_tokens
+
+
 def _char_windows(word: str, max_tokens: int) -> list[str]:
     width = max_tokens * config.FALLBACK_CHARS_PER_TOKEN
     return [word[off : off + width] for off in range(0, len(word), width)]
 
 
-def _pack_words(sentence: str, max_tokens: int) -> list[str]:
+def _pack_words(sentence: str, max_tokens: int, counter=count_tokens) -> list[str]:
     """Split an over-budget sentence at word granularity (char fallback)."""
     pieces: list[str] = []
     acc = ""
     for word in sentence.split():
         candidate = f"{acc} {word}" if acc else word
-        if count_tokens(candidate) > max_tokens:
+        if counter(candidate) > max_tokens:
             if acc:
                 pieces.append(acc)
                 acc = word
@@ -66,7 +93,7 @@ def _pack_words(sentence: str, max_tokens: int) -> list[str]:
     return pieces
 
 
-def _tail_overlap(text: str, overlap_tokens: int) -> str:
+def _tail_overlap(text: str, overlap_tokens: int, counter=count_tokens) -> str:
     """Longest word-suffix of ``text`` within the overlap token budget."""
     if overlap_tokens <= 0:
         return ""
@@ -76,7 +103,7 @@ def _tail_overlap(text: str, overlap_tokens: int) -> str:
     running = 0
     taken: list[str] = []
     for w in reversed(words):
-        running += count_tokens(w)
+        running += counter(w)
         if running > overlap_tokens:
             break
         taken.append(w)
@@ -88,10 +115,11 @@ def chunk_text(
     text: str,
     max_tokens: int = config.CHUNK_MAX_TOKENS,
     overlap_tokens: int = config.OVERLAP_TOKENS,
+    counter=count_tokens,
 ) -> list[str]:
     if not text or not text.strip():
         return []
-    if count_tokens(text) <= max_tokens:
+    if counter(text) <= max_tokens:
         return [text]
 
     sentences = [s.strip() for s in _SENT_RE.split(text) if s.strip()]
@@ -99,20 +127,20 @@ def chunk_text(
     acc = ""
     acc_tokens = 0
     for sentence in sentences:
-        s_tokens = count_tokens(sentence)
+        s_tokens = counter(sentence)
         if s_tokens > max_tokens:
             if acc.strip():
                 out.append(acc.strip())
                 acc, acc_tokens = "", 0
-            pieces = _pack_words(sentence, max_tokens)
+            pieces = _pack_words(sentence, max_tokens, counter)
             out.extend(pieces[:-1])
             acc = pieces[-1] if pieces else ""
-            acc_tokens = count_tokens(acc)
+            acc_tokens = counter(acc)
         elif acc_tokens + s_tokens > max_tokens:
             if acc.strip():
                 out.append(acc.strip())
-            acc = f"{_tail_overlap(acc, overlap_tokens)} {sentence}"
-            acc_tokens = count_tokens(acc)
+            acc = f"{_tail_overlap(acc, overlap_tokens, counter)} {sentence}"
+            acc_tokens = counter(acc)
         else:
             acc = f"{acc} {sentence}" if acc else sentence
             acc_tokens += s_tokens
@@ -121,7 +149,9 @@ def chunk_text(
     return out
 
 
-def chunk_pages(pages: list[str], max_tokens: int = config.CHUNK_MAX_TOKENS) -> list[str]:
+def chunk_pages(
+    pages: list[str], max_tokens: int = config.CHUNK_MAX_TOKENS, counter=count_tokens
+) -> list[str]:
     """Page-boundary-preserving packing (multi-page pdf/docx path)."""
     if not pages:
         return []
@@ -129,7 +159,7 @@ def chunk_pages(pages: list[str], max_tokens: int = config.CHUNK_MAX_TOKENS) -> 
     acc = ""
     acc_tokens = 0
     for page in pages:
-        p_tokens = count_tokens(page)
+        p_tokens = counter(page)
         if acc and acc_tokens + p_tokens > max_tokens:
             out.append(acc.strip())
             acc, acc_tokens = page, p_tokens
@@ -142,10 +172,10 @@ def chunk_pages(pages: list[str], max_tokens: int = config.CHUNK_MAX_TOKENS) -> 
             if acc != page:
                 # residue quirk preserved from the reference (:161-162)
                 out.append(acc.replace(page, "").strip())
-            sub = chunk_text(page, max_tokens)
+            sub = chunk_text(page, max_tokens, counter=counter)
             out.extend(sub[:-1])
             acc = sub[-1] if sub else ""
-            acc_tokens = count_tokens(acc)
+            acc_tokens = counter(acc)
     if acc.strip():
         out.append(acc.strip())
     return out
@@ -157,10 +187,14 @@ def chunk_pages(pages: list[str], max_tokens: int = config.CHUNK_MAX_TOKENS) -> 
 def make_chunk_text_udf(
     max_tokens: int = config.CHUNK_MAX_TOKENS,
     overlap_tokens: int = config.OVERLAP_TOKENS,
+    tokenizer: str = "lexer",
 ):
     @F.pandas_udf(ArrayType(StringType()))
     def chunk_text_udf(texts: pd.Series) -> pd.Series:
-        return texts.fillna("").map(lambda t: chunk_text(t, max_tokens, overlap_tokens))
+        counter = make_counter(tokenizer)  # resolved executor-side
+        return texts.fillna("").map(
+            lambda t: chunk_text(t, max_tokens, overlap_tokens, counter)
+        )
 
     return chunk_text_udf
 
@@ -168,23 +202,27 @@ def make_chunk_text_udf(
 def make_chunk_doc_udf(
     max_tokens: int = config.CHUNK_MAX_TOKENS,
     overlap_tokens: int = config.OVERLAP_TOKENS,
+    tokenizer: str = "lexer",
 ):
     """Strategy-dispatching chunker: (pages, full_content, use_pages) -> chunks.
 
     Mirrors document_processor.py:310-317 — page-aware when the doc type is a
     paged document AND it has >1 page, else plain text chunking.
+    ``tokenizer='tiktoken'`` counts with cl100k_base when importable
+    (reference chunking.py:37-56), else the deterministic regex lexer.
     """
 
     @F.pandas_udf(ArrayType(StringType()))
     def chunk_doc_udf(
         pages: pd.Series, full_content: pd.Series, use_pages: pd.Series
     ) -> pd.Series:
+        counter = make_counter(tokenizer)  # resolved executor-side
         res = []
         for pgs, full, paged in zip(pages, full_content, use_pages):
             if paged and pgs is not None and len(pgs) > 1:
-                res.append(chunk_pages(list(pgs), max_tokens))
+                res.append(chunk_pages(list(pgs), max_tokens, counter))
             else:
-                res.append(chunk_text(full or "", max_tokens, overlap_tokens))
+                res.append(chunk_text(full or "", max_tokens, overlap_tokens, counter))
         return pd.Series(res)
 
     return chunk_doc_udf

@@ -16,6 +16,7 @@ functions against a broadcast query vector, RRF as two rank windows.
 
 from __future__ import annotations
 
+import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -33,25 +34,30 @@ def _tokens(col):
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
 
 
-def text_search(
+def bm25_scores(
     chunks: DataFrame,
     query: str,
-    top: int = config.DEFAULT_TOP,
     content_col: str = "content",
     id_col: str = "chunk_id",
+    manage_cache: bool = True,
 ) -> DataFrame:
-    """Exact BM25 over the chunk corpus; returns top-k with ``score``.
+    """(id, score) for every chunk containing ≥1 query term — the full BM25
+    score set, no top-k (its exact DuckDB twin backs the q_bm25_search
+    oracle; reference scoring surface: search_client.py:351-374).
 
     Scale shape: one groupBy(id) over exploded postings of the *query terms
     only* (the term filter prunes before the shuffle), then a broadcast join
     of per-term document frequencies.
-    """
+
+    Cache discipline (round-1 advice): with ``manage_cache`` the corpus is
+    persisted for the scoring passes and released once the (id, score) set
+    is materialized — repeated queries in a long-lived session don't
+    accumulate cached corpus partitions."""
     q_terms = [t for t in _py_tokens(query)]
     if not q_terms:
         return chunks.select(id_col).limit(0).withColumn("score", F.lit(0.0))
-    # BM25 traverses the corpus 3× (stats, postings, result join) — cache the
-    # input so an expensive lineage (e.g. the chunker pipeline) runs once
-    chunks = chunks.persist()
+    if manage_cache:
+        chunks = chunks.persist()
     n_docs = chunks.count()
     avg_len = (
         chunks.select(F.avg(F.size(_tokens(F.col(content_col)))).alias("a")).collect()[0]["a"]
@@ -82,13 +88,43 @@ def text_search(
         .groupBy(id_col)
         .agg(F.sum("term_score").alias("score"))
     )
-    out = chunks.join(scored, id_col, "inner")
-    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(min(top, config.MAX_TOP))
+    if manage_cache:
+        scored = scored.localCheckpoint(eager=True)
+        chunks.unpersist()
+    return scored
+
+
+def text_search(
+    chunks: DataFrame,
+    query: str,
+    top: int | None = config.DEFAULT_TOP,
+    content_col: str = "content",
+    id_col: str = "chunk_id",
+    _caller_cached: bool = False,
+) -> DataFrame:
+    """BM25 top-k over the chunk corpus with full chunk columns + ``score``.
+
+    ``top=None`` skips the limit (full ranking — hybrid's unbounded pool).
+    Cache discipline: the corpus is persisted for the scoring passes and
+    released once the small (id, score) set is materialized; the final
+    projection join replays the corpus lineage exactly once.
+    ``_caller_cached=True`` means the caller owns the persist lifecycle
+    (hybrid_search does)."""
+    if not _caller_cached:
+        chunks = chunks.persist()
+    scored = bm25_scores(chunks, query, content_col, id_col, manage_cache=False)
+    if top is not None:
+        scored = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(
+            min(top, config.MAX_TOP)
+        )
+    top_k = scored.localCheckpoint(eager=True)
+    if not _caller_cached:
+        chunks.unpersist()
+    out = chunks.join(F.broadcast(top_k), id_col, "inner")
+    return out.orderBy(F.desc("score"), F.asc(id_col))
 
 
 def _py_tokens(text: str) -> list[str]:
-    import re
-
     return re.findall(TOKEN_PATTERN, text.lower())
 
 
@@ -96,20 +132,22 @@ def vector_search(
     chunks: DataFrame,
     query_vector: list[float] | None = None,
     query_text: str | None = None,
-    top: int = config.DEFAULT_TOP,
+    top: int | None = config.DEFAULT_TOP,
     vector_col: str = "vector",
     id_col: str = "chunk_id",
     embed_dim: int = config.TEST_EMBEDDING_DIM,
 ) -> DataFrame:
     """Exact cosine top-k against a broadcast query vector
     (search_client.py:249-259 semantics; embedding of the query mirrors
-    mcp app.py:85-94)."""
+    mcp app.py:85-94). ``top=None`` returns the full score set."""
     if query_vector is None:
         if query_text is None:
             raise ValueError("vector search requires query_vector or query_text")
         query_vector = embed_query(query_text, embed_dim)
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
     scored = chunks.withColumn("score", cosine(F.col(vector_col), qv))
+    if top is None:
+        return scored
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(min(top, config.MAX_TOP))
 
 
@@ -122,18 +160,36 @@ def hybrid_search(
     vector_col: str = "vector",
     id_col: str = "chunk_id",
     embed_dim: int = config.TEST_EMBEDDING_DIM,
-    pool: int = config.MAX_TOP,
+    pool: int | None = config.MAX_TOP,
+    query_vector: list[float] | None = None,
+    rank_rounding: int | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion of text + vector rankings
     (search_client.py:298-324 — Azure fuses server-side with RRF;
-    score = Σ 1/(k + rank))."""
+    score = Σ 1/(k + rank)). ``query_vector`` overrides the embedded
+    ``query_text`` for the vector leg (app.py:85-94 accepts either);
+    ``pool=None`` ranks the full corpus (no leg truncation);
+    ``rank_rounding`` ranks on round(score, n) so rank order is reproducible
+    across engines/arithmetic orders — the determinism knob the DuckDB
+    oracle relies on (ties then break on id in both engines).
+
+    Cache discipline mirrors ``text_search``: the corpus is persisted for
+    the two ranking legs, the fused ≤top (id, score) set is materialized,
+    the cache is released, and the projection join replays lineage once."""
     chunks = chunks.persist()  # consumed by both rankers + the result join
-    t = text_search(chunks, query_text, top=pool, content_col=content_col, id_col=id_col)
-    v = vector_search(
-        chunks, query_text=query_text, top=pool, vector_col=vector_col,
-        id_col=id_col, embed_dim=embed_dim,
+    t = text_search(
+        chunks, query_text, top=pool, content_col=content_col, id_col=id_col,
+        _caller_cached=True,
     )
-    w_t = Window.orderBy(F.desc("score"), F.asc(id_col))
+    v = vector_search(
+        chunks, query_vector=query_vector, query_text=query_text, top=pool,
+        vector_col=vector_col, id_col=id_col, embed_dim=embed_dim,
+    )
+    rank_key = (
+        F.round(F.col("score"), rank_rounding) if rank_rounding is not None
+        else F.col("score")
+    )
+    w_t = Window.orderBy(rank_key.desc(), F.asc(id_col))
     tr = t.select(id_col, F.row_number().over(w_t).alias("rank_text"))
     vr = v.select(id_col, F.row_number().over(w_t).alias("rank_vec"))
     fused = (
@@ -144,8 +200,60 @@ def hybrid_search(
             + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_vec")), F.lit(0.0)),
         )
     )
-    out = chunks.join(fused.select(id_col, "score"), id_col, "inner")
-    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(min(top, config.MAX_TOP))
+    fused_top = (
+        fused.select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(min(top, config.MAX_TOP))
+        .localCheckpoint(eager=True)
+    )
+    chunks.unpersist()
+    out = chunks.join(F.broadcast(fused_top), id_col, "inner")
+    return out.orderBy(F.desc("score"), F.asc(id_col))
+
+
+_ODATA_OPS = {"eq": "=", "ne": "<>", "gt": ">", "ge": ">=", "lt": "<", "le": "<="}
+_ODATA_TOKEN = re.compile(
+    r"'(?:[^']|'')*'"        # string literal, '' escapes a quote
+    r"|\(|\)"                 # grouping
+    r"|[^\s()]+"              # word: field, op, keyword, number
+)
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_NUMBER = re.compile(r"^-?\d+(\.\d+)?$")
+
+
+def odata_filter_to_sql(filter_str: str) -> str:
+    """Translate the reference's OData filter subset to a SQL predicate.
+
+    The reference passes ``$filter`` strings straight to Azure Search
+    (search_client.py:257-263); the MCP server builds conjunctions of
+    ``field eq value`` terms (app.py:90-101). Supported grammar: comparisons
+    ``field (eq|ne|gt|ge|lt|le) literal`` combined with and/or/not and
+    parentheses; literals are single-quoted strings (``''`` escape), numbers,
+    true/false/null. Everything else raises — no silent passthrough of
+    unvalidated expressions into the engine."""
+    out: list[str] = []
+    tokens = _ODATA_TOKEN.findall(filter_str)
+    if not tokens:
+        raise ValueError("empty OData filter")
+    for tok in tokens:
+        low = tok.lower()
+        if tok.startswith("'"):
+            out.append(tok)
+        elif low in _ODATA_OPS:
+            out.append(_ODATA_OPS[low])
+        elif low in ("and", "or", "not"):
+            out.append(low.upper())
+        elif tok in ("(", ")"):
+            out.append(tok)
+        elif low in ("true", "false", "null"):
+            out.append(low)
+        elif _NUMBER.match(tok):
+            out.append(tok)
+        elif _IDENT.match(tok):
+            out.append(tok)
+        else:
+            raise ValueError(f"unsupported OData token: {tok!r}")
+    return " ".join(out)
 
 
 def run_query(
@@ -155,6 +263,7 @@ def run_query(
     top: int = config.DEFAULT_TOP,
     select_fields: list[str] | None = None,
     filter_expr: str | None = None,
+    odata_filter: str | None = None,
     include_vector: bool = False,
     embed_dim: int = config.TEST_EMBEDDING_DIM,
 ) -> DataFrame:
@@ -168,6 +277,8 @@ def run_query(
         raise ValueError(f"unknown search_type: {search_type}")  # search_client.py:230-236
     if search_type in ("text", "hybrid") and not query_text:
         raise ValueError("text/hybrid search requires query_text")
+    if odata_filter:
+        filter_expr = odata_filter_to_sql(odata_filter)
     base = chunks.filter(F.expr(filter_expr)) if filter_expr else chunks
     top = min(top, config.MAX_TOP)
     if query_text == "*":

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_blob_crawler_spark import config
-from azure_blob_crawler_spark.functions.embedding import make_embed_udf
+from azure_blob_crawler_spark.functions.embedding import make_embed_udf, truncate_for_embedding
 from azure_blob_crawler_spark.functions.text import token_count
 from azure_blob_crawler_spark.functions.urls import canonical_url, url_hash, url_host
 from azure_blob_crawler_spark.operators.admission import MAX_BYTES
@@ -160,7 +160,11 @@ class CrawlRunner:
         return {"round": 0, "next_seq": 0}
 
     def run_round(self) -> dict:
-        frontier = self.store.read(FRONTIER)
+        # persist the reconciled frontier snapshot for the round: it feeds
+        # the claim, the seen-set anti-join and the commit, and with a
+        # merge-on-read table its lineage (multi-gen union + newest-wins)
+        # should execute once, not once per action
+        frontier = self.store.read(FRONTIER).persist()
         robots = self.store.read("robots")
         prev = self._last_commit_summary()
         rnd = int(prev.get("round", 0)) + 1
@@ -172,6 +176,7 @@ class CrawlRunner:
         n_claimed = claimed.count()
         if n_claimed == 0:
             claimed.unpersist()
+            frontier.unpersist()
             return {"round": rnd, "claimed": 0, "done": True}
 
         # 1. lock: pending → in_flight (crash before the final commit replays)
@@ -234,7 +239,9 @@ class CrawlRunner:
             )
             .withColumn("chunk_id", F.concat_ws("_", "doc_id", F.lit("chunk"), "chunk_index"))
             .withColumn("n_tokens", token_count(F.col("content_chunk")))
-            .withColumn("vector", self._embed("content_chunk"))
+            # embedding-input cap (document_processor.py:190-196): an
+            # over-budget chunk embeds its truncated prefix, never raw
+            .withColumn("vector", self._embed(truncate_for_embedding(F.col("content_chunk"))))
             .select("chunk_id", "doc_id", "url", "chunk_index",
                     F.col("content_chunk").alias("content"), "n_tokens", "vector")
         ).persist()  # consumed by the chunks MERGE and the doc_meta rollup
@@ -340,6 +347,7 @@ class CrawlRunner:
         fetched.unpersist()
         docs.unpersist()
         fresh.unpersist()
+        frontier.unpersist()
         return {**summary, "done": False}
 
     def _filter_unseen(self, candidates: DataFrame, frontier: DataFrame) -> DataFrame:

@@ -1,6 +1,6 @@
 """SnapshotStore — versioned, bucket-partitioned parquet tables with atomic
-manifest commits, MERGE upserts, row-level deletes, snapshot summaries and
-time travel.
+manifest commits, merge-on-read MERGE upserts, row-level deletes, snapshot
+summaries and time travel.
 
 This is the engine's storage layer standing in for Iceberg (no Iceberg
 runtime jar ships in this container). The interface is deliberately
@@ -10,11 +10,15 @@ touching operator code:
 
 - every table is hash-bucketed on its key (``pmod(xxhash64(key), B)`` —
   Iceberg's ``bucket(B, key)`` partition transform);
-- a MERGE only rewrites the buckets its updates touch; untouched buckets'
-  files are *reused* across snapshots (Iceberg manifest-reuse semantics), so
-  commit cost scales with the delta, not the table — the property that makes
-  a 10^10-row frontier/seen table updatable per crawl round;
-- a snapshot = JSON manifest {version → bucket → data path, summary};
+- a MERGE is **merge-on-read**: the delta is appended as new files and each
+  touched bucket's manifest entry becomes an ordered FILE LIST (newest wins
+  per key at read time) — commit cost is ∝ the delta, NOT the table, which
+  is what makes a 10^10-row frontier updatable per crawl round (round-1
+  verdict: the rewrite-touched-buckets design re-wrote the whole table once
+  the delta spread across all buckets; measured ~100× bytes-written drop in
+  BASELINE.md). Buckets whose list exceeds ``compact_files`` are compacted
+  in the same commit, bounding read amplification;
+- a snapshot = JSON manifest {version → bucket → [data paths], summary};
   commits are atomic via write-temp + ``os.replace`` of the CURRENT pointer
   (single-writer: the Spark driver, exactly like an Iceberg catalog commit);
 - readers always see the last committed snapshot; a crash mid-write leaves
@@ -31,10 +35,23 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_VDIR_RE = re.compile(r"data/v(\d{6})")
+
+# buckets holding more parquet dirs than this are compacted inside the same
+# merge commit — bounds read amplification at ~compact_files versions/bucket
+DEFAULT_COMPACT_FILES = 4
+
+# merge strategy auto-switch (Iceberg's write.update.mode analogue): below
+# this table size a copy-on-write rewrite of the touched buckets is cheaper
+# than append+reconcile bookkeeping (small tables = test/bootstrap scale);
+# above it, bytes written must be ∝ delta, so merge-on-read takes over
+MOR_MIN_TABLE_BYTES = 64 * 1024 * 1024
 
 
 class SnapshotStore:
@@ -94,22 +111,14 @@ class SnapshotStore:
     def _bucket_col(key_cols: list[str], n_buckets: int):
         return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
-    def _write_buckets(self, name: str, df: DataFrame, version: int) -> str:
-        rel = os.path.join("data", f"v{version:06d}")
+    def _write_buckets(self, name: str, df: DataFrame, version: int, suffix: str = "") -> str:
+        rel = os.path.join("data", f"v{version:06d}{suffix}")
         out = os.path.join(self._tdir(name), rel)
         # cluster rows by bucket before the partitioned write: without this,
         # every task fans out one file per bucket (tasks × buckets small
         # files per commit); with it, one file per bucket
         df.repartition("__bucket").write.mode("overwrite").partitionBy("__bucket").parquet(out)
         return rel
-
-    def _bucket_paths(self, name: str, manifest: dict, buckets=None) -> list[str]:
-        tdir = self._tdir(name)
-        sel = manifest["buckets"]
-        if buckets is not None:
-            wanted = {str(b) for b in buckets}
-            sel = {b: p for b, p in sel.items() if b in wanted}
-        return [os.path.join(tdir, p) for p in sorted(set(sel.values()))]
 
     @staticmethod
     def _existing_bucket_dirs(base: str) -> dict[str, str]:
@@ -119,6 +128,62 @@ class SnapshotStore:
             for entry in os.listdir(base):
                 if entry.startswith("__bucket="):
                     out[entry.split("=", 1)[1]] = entry
+        return out
+
+    @staticmethod
+    def _gen_of(path: str) -> int:
+        """Commit generation of a data path (version encoded in the dir name;
+        a compaction dir like data/v000009-compact carries gen 9 — it is the
+        reconciled truth AT that version)."""
+        m = _VDIR_RE.search(path)
+        return int(m.group(1)) if m else 0
+
+    # --- merge-on-read reconciliation ----------------------------------------
+
+    def _read_reconciled(self, name: str, manifest: dict, buckets=None) -> DataFrame | None:
+        """Read the given buckets (default: all), resolving multi-file
+        buckets newest-generation-wins per key. Single-file buckets are read
+        verbatim — no shuffle for the clean part of the table."""
+        key_cols = manifest["key"]
+        sel = manifest["buckets"]
+        if buckets is not None:
+            wanted = {str(b) for b in buckets}
+            sel = {b: ps for b, ps in sel.items() if b in wanted}
+        if not sel:
+            return None
+        tdir = self._tdir(name)
+        clean_paths = sorted(
+            {os.path.join(tdir, ps[0]) for ps in sel.values() if len(ps) == 1}
+        )
+        dirty_lists = [ps for ps in sel.values() if len(ps) > 1]
+        parts: list[DataFrame] = []
+        if clean_paths:
+            parts.append(self.spark.read.parquet(*clean_paths))
+        if dirty_lists:
+            # group dirty constituent paths by generation → one scan per gen
+            by_gen: dict[int, set[str]] = {}
+            for ps in dirty_lists:
+                for p in ps:
+                    by_gen.setdefault(self._gen_of(p), set()).add(os.path.join(tdir, p))
+            gen_dfs = [
+                self.spark.read.parquet(*sorted(paths)).withColumn("__gen", F.lit(g))
+                for g, paths in by_gen.items()
+            ]
+            dirty = gen_dfs[0]
+            for d in gen_dfs[1:]:
+                dirty = dirty.unionByName(d)
+            w = Window.partitionBy(*key_cols).orderBy(F.desc("__gen"))
+            resolved = (
+                dirty.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__gen")
+            )
+            parts.append(
+                resolved.select(*parts[0].columns) if parts else resolved
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         return out
 
     # --- public API ----------------------------------------------------------
@@ -138,7 +203,7 @@ class SnapshotStore:
         rel = self._write_buckets(name, tagged, version)
         base = os.path.join(self._tdir(name), rel)
         buckets = {
-            b: os.path.join(rel, d) for b, d in self._existing_bucket_dirs(base).items()
+            b: [os.path.join(rel, d)] for b, d in self._existing_bucket_dirs(base).items()
         }
         self._commit(
             name,
@@ -153,10 +218,30 @@ class SnapshotStore:
 
     def read(self, name: str, version: int | None = None) -> DataFrame:
         m = self._manifest(name, version)
-        paths = self._bucket_paths(name, m)
-        if not paths:
+        df = self._read_reconciled(name, m)
+        if df is None:
             raise ValueError(f"table {name} is empty and schema-less at v{m['version']}")
-        return self.spark.read.parquet(*paths)
+        return df
+
+    def table_bytes(self, name: str, manifest: dict | None = None) -> int:
+        """Current on-disk size of the table's live data dirs (driver-side
+        walk of the manifest's unique version dirs — local-fs cheap; on a
+        real object store this comes from the manifest's file sizes)."""
+        m = manifest or self._manifest(name)
+        tdir = self._tdir(name)
+        seen_dirs: set[str] = set()
+        for paths in m["buckets"].values():
+            for rel in paths:
+                seen_dirs.add(rel)
+        total = 0
+        for rel in seen_dirs:
+            d = os.path.join(tdir, rel)
+            if os.path.isdir(d):
+                for f in os.listdir(d):
+                    fp = os.path.join(d, f)
+                    if os.path.isfile(fp):
+                        total += os.path.getsize(fp)
+        return total
 
     def merge(
         self,
@@ -164,68 +249,116 @@ class SnapshotStore:
         updates: DataFrame,
         delete: bool = False,
         summary: dict | None = None,
+        compact_files: int = DEFAULT_COMPACT_FILES,
+        strategy: str = "auto",
     ) -> dict:
         """MERGE INTO semantics on the table key.
 
         - matched rows are replaced by the update row (or deleted when
           ``delete=True``);
         - unmatched update rows are inserted (ignored when deleting);
-        - only buckets present in ``updates`` are rewritten.
+        - ``strategy`` (Iceberg write.update.mode analogue):
+          * ``'cow'`` — copy-on-write: touched buckets are reconciled and
+            rewritten as single files (cheapest for small tables — fewer
+            jobs, no read amplification);
+          * ``'mor'`` — merge-on-read: the delta is APPENDED as new files
+            (bytes written ∝ delta — the only shape that survives a 10^10
+            -row frontier); buckets whose file list exceeds
+            ``compact_files`` are compacted in the same commit;
+          * ``'auto'`` (default) — cow below MOR_MIN_TABLE_BYTES, mor above;
+        - deletes always compact their touched buckets (reconcile − victims).
 
         Returns the commit summary (incl. touched-bucket lineage — the
-        north rule's per-partition lineage record).
-        """
+        north rule's per-partition lineage record)."""
+        if strategy not in ("auto", "cow", "mor"):
+            raise ValueError(f"unknown merge strategy: {strategy}")
         m = self._manifest(name)
         key_cols, n_buckets = m["key"], m["n_buckets"]
+        use_mor = strategy == "mor" or (
+            strategy == "auto" and self.table_bytes(name, m) >= MOR_MIN_TABLE_BYTES
+        )
         up = updates.withColumn("__bucket", self._bucket_col(key_cols, n_buckets))
         up = up.dropDuplicates(key_cols)  # MERGE requires unique source keys
         up.persist()
         try:
             touched = sorted(r["__bucket"] for r in up.select("__bucket").distinct().collect())
-            cur_paths = self._bucket_paths(name, m, buckets=touched)
-            all_paths = self._bucket_paths(name, m)
-            if all_paths:
-                base_cols = list(self.spark.read.parquet(*all_paths[:1]).columns)
+            version = self.current_version(name) + 1
+            new_buckets = {b: list(ps) for b, ps in m["buckets"].items()}
+            any_path = next(iter(m["buckets"].values()), None)
+            if any_path:
+                base_cols = list(
+                    self.spark.read.parquet(
+                        os.path.join(self._tdir(name), any_path[0])
+                    ).columns
+                )
             else:
                 base_cols = [c for c in up.columns if c != "__bucket"]
-            if cur_paths:
-                current = self.spark.read.parquet(*cur_paths).withColumn(
-                    "__bucket", self._bucket_col(key_cols, n_buckets)
-                )
-            else:
-                current = None
 
+            compacted: list[int] = []
             if delete:
-                merged = (
-                    current.join(up.select(*key_cols), key_cols, "left_anti")
-                    if current is not None
-                    else None
-                )
-            else:
-                src = up.select(*base_cols, "__bucket").withColumn("__pri", F.lit(0))
+                # reconcile touched buckets, drop victims, rewrite those
+                # buckets as single files (deletes are rare: GC path)
+                current = self._read_reconciled(name, m, buckets=touched)
                 if current is not None:
-                    tgt = current.select(*base_cols, "__bucket").withColumn("__pri", F.lit(1))
-                    unioned = src.unionByName(tgt)
-                else:
-                    unioned = src
-                w = Window.partitionBy(*key_cols).orderBy("__pri")
-                merged = (
-                    unioned.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                    .drop("__rn", "__pri")
+                    merged = current.join(up.select(*key_cols), key_cols, "left_anti")
+                    merged = merged.withColumn(
+                        "__bucket", self._bucket_col(key_cols, n_buckets)
+                    )
+                    for b in touched:
+                        new_buckets.pop(str(b), None)
+                    rel = self._write_buckets(name, merged, version)
+                    base = os.path.join(self._tdir(name), rel)
+                    for b, d in self._existing_bucket_dirs(base).items():
+                        new_buckets[b] = [os.path.join(rel, d)]
+                    compacted = touched
+            elif use_mor:
+                # merge-on-read append: write ONLY the delta
+                rel = self._write_buckets(
+                    name, up.select(*base_cols, "__bucket"), version
                 )
-
-            version = self.current_version(name) + 1
-            new_buckets = dict(m["buckets"])
-            for b in touched:
-                new_buckets.pop(str(b), None)
-            if merged is not None:
+                base = os.path.join(self._tdir(name), rel)
+                for b, d in self._existing_bucket_dirs(base).items():
+                    new_buckets.setdefault(b, [])
+                    new_buckets[b].append(os.path.join(rel, d))
+                # same-commit compaction of over-long buckets
+                over = [int(b) for b, ps in new_buckets.items() if len(ps) > compact_files]
+                if over:
+                    probe = {
+                        "key": key_cols,
+                        "buckets": {str(b): new_buckets[str(b)] for b in over},
+                    }
+                    squashed = self._read_reconciled(name, probe).withColumn(
+                        "__bucket", self._bucket_col(key_cols, n_buckets)
+                    )
+                    rel_c = self._write_buckets(name, squashed, version, suffix="-compact")
+                    base_c = os.path.join(self._tdir(name), rel_c)
+                    for b, d in self._existing_bucket_dirs(base_c).items():
+                        new_buckets[b] = [os.path.join(rel_c, d)]
+                    compacted = over
+            else:
+                # copy-on-write: reconcile the touched buckets with the
+                # updates (update rows win) and rewrite them as single files
+                current = self._read_reconciled(name, m, buckets=touched)
+                merged = up.select(*base_cols, "__bucket")
+                if current is not None:
+                    kept = current.join(up.select(*key_cols), key_cols, "left_anti")
+                    merged = merged.unionByName(
+                        kept.withColumn("__bucket", self._bucket_col(key_cols, n_buckets))
+                    )
+                for b in touched:
+                    new_buckets.pop(str(b), None)
                 rel = self._write_buckets(name, merged, version)
                 base = os.path.join(self._tdir(name), rel)
                 for b, d in self._existing_bucket_dirs(base).items():
-                    new_buckets[b] = os.path.join(rel, d)
+                    new_buckets[b] = [os.path.join(rel, d)]
+
             commit_summary = dict(summary or {})
             commit_summary["touched_buckets"] = touched
+            commit_summary["mode"] = (
+                "delete" if delete else ("append" if use_mor else "cow")
+            )
+            if compacted:
+                commit_summary["compacted_buckets"] = sorted(compacted)
             self._commit(
                 name,
                 {
@@ -239,6 +372,36 @@ class SnapshotStore:
             return commit_summary
         finally:
             up.unpersist()
+
+    def compact(self, name: str, summary: dict | None = None) -> dict:
+        """Explicit full compaction: rewrite every multi-file bucket as one
+        reconciled file (Iceberg ``rewrite_data_files`` parity)."""
+        m = self._manifest(name)
+        key_cols, n_buckets = m["key"], m["n_buckets"]
+        dirty = [b for b, ps in m["buckets"].items() if len(ps) > 1]
+        if not dirty:
+            return {"compacted_buckets": []}
+        version = self.current_version(name) + 1
+        squashed = self._read_reconciled(name, m, buckets=dirty).withColumn(
+            "__bucket", self._bucket_col(key_cols, n_buckets)
+        )
+        rel = self._write_buckets(name, squashed, version, suffix="-compact")
+        base = os.path.join(self._tdir(name), rel)
+        new_buckets = {b: list(ps) for b, ps in m["buckets"].items()}
+        for b, d in self._existing_bucket_dirs(base).items():
+            new_buckets[b] = [os.path.join(rel, d)]
+        commit_summary = dict(summary or {}, compacted_buckets=sorted(int(b) for b in dirty))
+        self._commit(
+            name,
+            {
+                "version": version,
+                "key": key_cols,
+                "n_buckets": n_buckets,
+                "buckets": new_buckets,
+                "summary": commit_summary,
+            },
+        )
+        return commit_summary
 
     def overwrite(self, name: str, df: DataFrame, summary: dict | None = None) -> None:
         m = self._manifest(name)
@@ -263,9 +426,10 @@ class SnapshotStore:
         keep = set(range(max(1, current - keep_last + 1), current + 1))
         live_dirs: set[str] = set()
         for v in keep:
-            for rel in self._manifest(name, v)["buckets"].values():
-                # bucket paths look like data/v000007/__bucket=3
-                live_dirs.add(rel.split("/__bucket=")[0])
+            for paths in self._manifest(name, v)["buckets"].values():
+                for rel in paths:
+                    # bucket paths look like data/v000007[-compact]/__bucket=3
+                    live_dirs.add(rel.split("/__bucket=")[0])
         removed_files = removed_manifests = 0
         data_root = os.path.join(tdir, "data")
         if os.path.isdir(data_root):

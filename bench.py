@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "q_embedding_topk",
     "q_chunk_stats",
     "q_bm25_search",
+    "q_hybrid_search",
+    "q_simhash_pairs",
+    "q_embedding_near_dups",
 ]
 
 FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "1000000"))

@@ -125,3 +125,32 @@ def test_doc_udf_strategy_dispatch(spark):
     by_flag = {r["paged"]: r["chunks"] for r in rows}
     assert by_flag[True] == chunk_pages(pages, 40)
     assert by_flag[False] == chunk_text(full, 40, 8)
+
+
+def test_make_counter_fallback_and_validation():
+    import pytest
+
+    from azure_blob_crawler_spark.operators.chunker import count_tokens, make_counter
+
+    assert make_counter("lexer") is count_tokens
+    # container has no tiktoken → degrades to the lexer, never crashes
+    c = make_counter("tiktoken")
+    assert c("a b c") >= 1
+    with pytest.raises(ValueError):
+        make_counter("bogus")
+
+
+def test_chunker_tiktoken_parity_when_available():
+    """Runs only where tiktoken is installed (reference chunking.py:37-56):
+    counting and budget enforcement must use cl100k_base exactly."""
+    import pytest
+
+    tiktoken = pytest.importorskip("tiktoken")
+    from azure_blob_crawler_spark.operators.chunker import chunk_text, make_counter
+
+    enc = tiktoken.get_encoding("cl100k_base")
+    counter = make_counter("tiktoken")
+    assert counter("hello world, a test.") == len(enc.encode("hello world, a test."))
+    chunks = chunk_text("word " * 200, max_tokens=30, overlap_tokens=5, counter=counter)
+    assert chunks
+    assert all(counter(c) <= 35 for c in chunks)

@@ -8,7 +8,7 @@ from hypothesis import strategies as st
 
 from azure_blob_crawler_spark.functions.urls import canonical_url_py, url_host_py
 from azure_blob_crawler_spark.operators.chunker import chunk_text, count_tokens
-from azure_blob_crawler_spark.operators.seen import CuckooFilter
+from azure_blob_crawler_spark.operators.seen import CuckooChain
 
 # words ≤ 8 chars so one word = one lexer token (keeps the budget invariant
 # strict; the documented oversize-tail-word exception needs >8-char tokens)
@@ -75,19 +75,22 @@ def test_canonical_idempotent_and_sane(scheme, host, port, segs, tail):
     assert "/./" not in path and "/../" not in path + "/"
     host_out = url_host_py(c1)
     assert host_out == host_out.lower()
-    # default ports stripped, others kept
-    if port in ("", ":80", ":443"):
+    # the scheme's OWN default port is stripped; any other port is a
+    # distinct origin and kept (http://h:443 ≠ http://h)
+    default = {"http": ":80", "https": ":443"}[scheme.lower()]
+    if port in ("", default):
         assert ":" not in host_out
     else:
-        assert host_out.endswith(":8080")
+        assert host_out.endswith(port)
 
 
 @settings(max_examples=30, deadline=None)
 @given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=500, unique=True))
 def test_cuckoo_no_false_negatives(keys):
-    cf = CuckooFilter.sized(max(len(keys), 16))
+    # deliberately undersized: growth must preserve every key
+    cf = CuckooChain.sized(16)
     for k in keys:
-        assert cf.insert(k)
+        cf.insert(k)
     assert all(cf.contains(k) for k in keys)
-    rt = CuckooFilter.from_bytes(cf.to_bytes())
+    rt = CuckooChain.from_bytes(cf.to_bytes())
     assert all(rt.contains(k) for k in keys)

@@ -81,3 +81,58 @@ def test_run_query_validation(chunks):
         Q.run_query(chunks, query_text="x", search_type="bogus")
     with pytest.raises(ValueError):
         Q.run_query(chunks, query_text=None, search_type="text")
+
+
+def test_odata_translation():
+    assert Q.odata_filter_to_sql("depth eq 2") == "depth = 2"
+    assert (
+        Q.odata_filter_to_sql("lang eq 'en' and n_chars gt 100")
+        == "lang = 'en' AND n_chars > 100"
+    )
+    assert (
+        Q.odata_filter_to_sql("not (state eq 'dead') or depth le 3")
+        == "NOT ( state = 'dead' ) OR depth <= 3"
+    )
+    assert Q.odata_filter_to_sql("name eq 'it''s'") == "name = 'it''s'"
+    with pytest.raises(ValueError):
+        Q.odata_filter_to_sql("chunk_id eq 'x'; drop table frontier")
+    with pytest.raises(ValueError):
+        Q.odata_filter_to_sql("")
+
+
+def test_run_query_odata_filter(chunks):
+    out = Q.run_query(
+        chunks, query_text="spark", search_type="text",
+        odata_filter="chunk_id ne 'c1'",
+    ).collect()
+    assert out and all(r["chunk_id"] != "c1" for r in out)
+
+
+def test_embedding_truncation_cap(spark):
+    """>max-token text embeds identically to its truncated prefix
+    (document_processor.py:190-196 semantics)."""
+    from pyspark.sql import functions as F
+
+    from azure_blob_crawler_spark.functions.embedding import truncate_for_embedding
+
+    long_text = "word " * 30_000  # ≫ 8000 tokens
+    cap_chars = config.EMBEDDING_MAX_TOKENS * config.FALLBACK_CHARS_PER_TOKEN
+    df = spark.createDataFrame([(long_text,)], ["content"])
+    embed = make_embed_udf(16)
+    row = df.select(
+        embed(truncate_for_embedding(F.col("content"))).alias("v_capped"),
+        embed(F.substring("content", 1, cap_chars)).alias("v_prefix"),
+    ).collect()[0]
+    assert row["v_capped"] == row["v_prefix"]
+
+
+def test_text_search_releases_cache(chunks):
+    """Repeated searches must not accumulate cached RDDs (round-1 advice)."""
+    sc = chunks.sparkSession.sparkContext
+    before = len([r for r in sc._jsc.sc().getRDDStorageInfo()])
+    for _ in range(3):
+        Q.text_search(chunks, "spark shuffle", top=3).collect()
+    after = len([r for r in sc._jsc.sc().getRDDStorageInfo()])
+    # the module fixture keeps `chunks` cached; searches may add only the
+    # tiny localCheckpoint blocks, never a growing corpus cache per call
+    assert after - before <= 4

@@ -107,6 +107,66 @@ def test_expire_snapshots(spark, tmp_path):
     assert st.read("t").count() == 205
 
 
+def test_mor_merge_appends_delta_only(spark, tmp_path):
+    """Merge-on-read (the 10^10-scale path): a merge writes ONLY the delta;
+    untouched bytes are never rewritten; reads reconcile newest-wins."""
+    st = make_store(spark, tmp_path)
+    st.create("t", base_df(spark, 2000), key="k", n_buckets=8)
+    v1 = st._manifest("t")
+    updates = spark.range(1990, 2010).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v"), F.lit("done").alias("s")
+    )
+    summary = st.merge("t", updates, strategy="mor")
+    assert summary["mode"] == "append"
+    v2 = st._manifest("t")
+    # every touched bucket KEPT its old file and gained exactly one delta file
+    for b in summary["touched_buckets"]:
+        old = v1["buckets"].get(str(b), [])
+        assert v2["buckets"][str(b)][: len(old)] == old
+        assert len(v2["buckets"][str(b)]) == len(old) + 1
+    got = st.read("t")
+    assert got.count() == 2010
+    assert got.filter(F.col("v") == -1).count() == 20
+    assert got.filter((F.col("k") == 5) & (F.col("v") == 50)).count() == 1
+
+
+def test_mor_merge_idempotent_and_compaction(spark, tmp_path):
+    st = make_store(spark, tmp_path)
+    st.create("t", base_df(spark), key="k", n_buckets=4)
+    upd = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v"), F.lit("done").alias("s")
+    )
+    for _ in range(6):  # exceeds compact_files=4 → same-commit compaction
+        st.merge("t", upd, strategy="mor")
+    m = st._manifest("t")
+    assert all(len(ps) <= 5 for ps in m["buckets"].values())
+    got = st.read("t")
+    assert got.count() == 100  # replay-idempotent
+    assert got.filter(F.col("v") == -1).count() == 10
+    # explicit full compaction squashes every bucket to one file
+    st.compact("t")
+    m2 = st._manifest("t")
+    assert all(len(ps) == 1 for ps in m2["buckets"].values())
+    assert st.read("t").count() == 100
+
+
+def test_mor_then_delete(spark, tmp_path):
+    st = make_store(spark, tmp_path)
+    st.create("t", base_df(spark), key="k", n_buckets=4)
+    st.merge(
+        "t",
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), F.lit(7).alias("v"), F.lit("p").alias("s")
+        ),
+        strategy="mor",
+    )
+    victims = spark.range(110, 130).select(F.col("id").alias("k"))
+    st.merge("t", victims, delete=True)
+    got = st.read("t")
+    assert got.count() == 110
+    assert got.filter(F.col("k") >= 110).count() == 0
+
+
 def test_time_travel_and_summary(spark, tmp_path):
     st = make_store(spark, tmp_path)
     st.create("t", base_df(spark), key="k", n_buckets=4, summary={"round": 0})

@@ -17,6 +17,9 @@ CASES = [
     ("HTTPS://EXAMPLE.com:443/a/b.txt", "https://example.com/a/b.txt"),
     ("http://example.com:80/a", "http://example.com/a"),
     ("http://example.com:8080/a", "http://example.com:8080/a"),
+    # a scheme's NON-default port is a distinct origin — never stripped
+    ("http://example.com:443/a", "http://example.com:443/a"),
+    ("https://example.com:80/a", "https://example.com:80/a"),
     ("https://example.com/a/b.txt#frag", "https://example.com/a/b.txt"),
     ("https://example.com/a//b///c", "https://example.com/a/b/c"),
     ("https://example.com/a/./b/./c.txt", "https://example.com/a/b/c.txt"),
