@@ -126,11 +126,10 @@ def test_simhash_pigeonhole_complete(spark):
     nid = 100
     expected = set()
     for k in range(9):
-        base = int(sigs_np[k])
-        flipped = base
+        u = int(sigs_np[k]) & ((1 << 64) - 1)  # unsigned bit pattern
         for b in rng.choice(64, size=k, replace=False):
-            flipped ^= 1 << int(b)
-        flipped = int(np.int64(np.uint64(flipped % (1 << 64)) - (1 << 63) * (flipped >= (1 << 63))))
+            u ^= 1 << int(b)
+        flipped = u - (1 << 64) if u >= (1 << 63) else u  # back to signed
         rows.append((nid, flipped))
         expected.add((k, nid))
         nid += 1

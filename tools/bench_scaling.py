@@ -47,9 +47,13 @@ def job(m):
     frontier.unpersist()
     return nc
 
+import os
 job(10_000)  # warm-up: JIT/codegen compile of the exact plan (single-threaded, one-time)
 best, nc = None, 0
-for _ in range(3):  # min-of-3: the sandbox is a shared VM with noisy neighbors
+# min-of-k: the sandbox is a shared VM with noisy neighbors; k=1 is used for
+# very long (large-n, low-core) runs where a single run already amortizes noise
+repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+for _ in range(repeats):
     t0 = time.time()
     nc = job(n)
     dt = time.time() - t0
@@ -69,15 +73,20 @@ def run(cores: int, n: int) -> dict:
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
-    r2, r8, r32 = run(2, n), run(8, n), run(32, n)
-    eff_2_8 = (r8["urls_per_sec"] / r2["urls_per_sec"]) / 4
-    eff_8_32 = (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4
+    pairs = sys.argv[2] if len(sys.argv) > 2 else "2,8,32"
+    cores = [int(c) for c in pairs.split(",")]
+    runs = [run(c, n) for c in cores]
+    effs = {}
+    for a, b in zip(runs, runs[1:]):
+        ratio = b["cores"] / a["cores"]
+        effs[f"scaling_efficiency_{a['cores']}_to_{b['cores']}"] = round(
+            (b["urls_per_sec"] / a["urls_per_sec"]) / ratio, 3
+        )
     print(
         json.dumps(
             {
-                "runs": [r2, r8, r32],
-                "scaling_efficiency_2_to_8": round(eff_2_8, 3),
-                "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+                "runs": runs,
+                **effs,
                 "note": "single shared VM; /proc/stat shows hypervisor steal "
                 "time — high-occupancy (32-thread) runs compete with "
                 "co-tenants, low-occupancy pairs reflect engine scaling",
