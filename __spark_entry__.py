@@ -852,6 +852,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_workitem_parse"] = q_workitem_parse
 
+    def q_media_refs(spark, d):
+        """Multimodal span surface: media spans of the interleaved corpus
+        (typed media_ref + placeholder text, input_hint schema) — the
+        SQL-checkable face of operators/multimodal.py's binary column model
+        (real codecs are stubbed; reference analogue: the binary-file
+        placeholder, file_extractor.py:103-106)."""
+        spans = documents_with_spans(spark, d).select(
+            F.col("doc_id").cast("long").alias("doc_id"), F.explode("spans").alias("s")
+        )
+        return spans.filter(F.col("s.kind") == "media").select(
+            "doc_id",
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.text").alias("placeholder"),
+            F.col("s.offset").alias("offset"),
+        )
+
+    q["q_media_refs"] = q_media_refs
+
     return q
 
 
@@ -1360,6 +1378,15 @@ def oracle_sql() -> dict[str, str]:
                    1.0::double as score
             from documents
             where lang = 'en' and n_chars > 500
+        """,
+        "q_media_refs": """
+            select doc_id,
+                   'asset_' || cast(doc_id as varchar) || '.jpg' as media_ref,
+                   'Binary file: asset_' || cast(doc_id as varchar)
+                       || '.jpg (Size: 0.50MB, Type: jpg)' as placeholder,
+                   1 as offset
+            from documents
+            where doc_id % 4 = 3
         """,
         "q_workitem_parse": f"""
             with m as (

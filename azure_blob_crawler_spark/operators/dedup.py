@@ -149,13 +149,31 @@ def minhash_dedup(
     """Drop near-duplicates: every doc that pairs (above threshold) with a
     lower-id doc is removed (greedy union toward the minimum id).
 
-    Persist discipline: signatures are cached for the three passes inside
+    Degenerate-bucket guard (round-1 residual risk): boilerplate-heavy
+    corpora put whole classes of IDENTICAL documents into one LSH bucket,
+    making the in-bucket verify quadratic in the class size. Identical
+    signatures are collapsed first — every non-minimum member of an
+    identical-signature class is a loser outright, and only the class
+    representative enters the band join — so a corpus of N copies costs
+    O(N), not O(N²), and the final kept set is unchanged (each collapsed
+    member would have paired with its class minimum anyway).
+
+    Persist discipline: signatures are cached for the passes inside
     ``minhash_lsh_pairs`` and released once the (much smaller) loser set is
     materialized — no executor-storage leak across repeated calls."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).persist()
     try:
-        pairs = minhash_lsh_pairs(sigs, n_bands, n_hashes, threshold)
-        losers = pairs.select(F.col("id_b").alias("id")).distinct().persist()
+        w = Window.partitionBy("sig").orderBy("id")
+        classed = sigs.withColumn("__rn", F.row_number().over(w))
+        exact_losers = classed.filter(F.col("__rn") > 1).select("id")
+        reps = classed.filter(F.col("__rn") == 1).drop("__rn")
+        pairs = minhash_lsh_pairs(reps, n_bands, n_hashes, threshold)
+        losers = (
+            pairs.select(F.col("id_b").alias("id"))
+            .unionByName(exact_losers)
+            .distinct()
+            .persist()
+        )
         losers.count()  # materialize before dropping the signature cache
     finally:
         sigs.unpersist()

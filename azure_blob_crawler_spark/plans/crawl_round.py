@@ -61,12 +61,17 @@ class CrawlRunner:
         n_buckets: int = config.SEEN_BUCKETS,
         lock_rounds: bool = True,
         log_claims: bool = True,
+        expire_every: int = 0,
     ):
         """``lock_rounds`` writes the pending→in_flight lock commit (reference
         peek-lock parity, servicebus_client.py:154-171); correctness does not
         require it — a crash replays the whole round idempotently either way
         — so bulk/bench runs can skip one MERGE per round. ``log_claims``
-        likewise controls the ordering-oracle claim log."""
+        likewise controls the ordering-oracle claim log. ``expire_every`` > 0
+        runs snapshot GC (expire_snapshots, keep_last=3) on every table each
+        N rounds — the reference's delete-after-processing cleanup
+        (document_processor.py:344-358) as periodic table maintenance;
+        keep_last ≥ 2 so crash-replay still sees the last committed round."""
         self.spark = spark
         self.store = SnapshotStore(spark, store_root)
         self.round_size = round_size
@@ -76,6 +81,7 @@ class CrawlRunner:
         self.n_buckets = n_buckets
         self.lock_rounds = lock_rounds
         self.log_claims = log_claims
+        self.expire_every = expire_every
         self._fetch = make_fetch_udf()
         self._extract = make_extract_spans_udf()
         self._chunk = make_chunk_doc_udf()
@@ -379,12 +385,23 @@ class CrawlRunner:
     def run(self, max_rounds: int = 1000) -> list[dict]:
         self.recover()
         out = []
-        for _ in range(max_rounds):
+        for i in range(max_rounds):
             m = self.run_round()
             if m.get("done"):
                 break
             out.append(m)
+            if self.expire_every and (i + 1) % self.expire_every == 0:
+                self.gc(keep_last=3)
         return out
+
+    def gc(self, keep_last: int = 3) -> dict:
+        """Snapshot GC across all engine tables (old manifests + orphaned
+        data dirs removed; readers of kept versions unaffected)."""
+        stats = {}
+        for t in (FRONTIER, CHUNKS, DOC_META, CLAIM_LOG, SEEN_CUCKOO, "robots"):
+            if self.store.exists(t):
+                stats[t] = self.store.expire_snapshots(t, keep_last=keep_last)
+        return stats
 
     # --- oracle surfaces ---------------------------------------------------------
 

@@ -146,6 +146,19 @@ def test_simhash_rejects_unsound_bound(spark):
         DD.simhash_pairs(sigs, max_hamming=40)
 
 
+def test_minhash_dedup_collapses_identical_classes(spark):
+    """Boilerplate guard: a large class of identical docs must dedup to its
+    minimum id via the signature-collapse path (no quadratic bucket), with
+    distinct docs untouched."""
+    boiler = "exactly the same boilerplate text repeated in every copy of this page"
+    rows = [(i, boiler) for i in range(200)]
+    rows += [(1000, "a completely different document about spark shuffles")]
+    rows += [(1001, "another unrelated text mentioning cuckoo filters and robots")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in DD.minhash_dedup(df, "text", "doc_id", threshold=0.5).collect())
+    assert kept == [0, 1000, 1001]
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [("The cat and the dog sat. It was good! Was it?",)], ["text"]
