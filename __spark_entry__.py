@@ -870,6 +870,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_media_refs"] = q_media_refs
 
+    def q_robots_rules(spark, d):
+        """robots.txt directive parsing (north-rule politeness input):
+        deterministic per-doc robots text → (host, crawl_delay, disallow
+        stats), same regexes run in DuckDB."""
+        from azure_blob_crawler_spark.functions.robots import robots_rules
+
+        docs = T(spark, d, "documents")
+        txt = F.concat(
+            F.lit("User-agent: *\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("Crawl-delay: "), (F.col("doc_id") % 7).cast("string"), F.lit("\n")),
+            ).otherwise(F.lit("")),
+            F.lit("Disallow: /private"), (F.col("doc_id") % 5).cast("string"), F.lit("\n"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("Disallow: /tmp\n")).otherwise(F.lit("")),
+            F.lit("Allow: /\n"),
+        )
+        raw = docs.select(
+            F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".example.com")).alias("host"),
+            txt.alias("robots_txt"),
+        )
+        rules = robots_rules(raw)
+        return rules.select(
+            "host",
+            "crawl_delay_s",
+            F.size("disallow").alias("n_disallow"),
+            F.element_at("disallow", 1).alias("first_disallow"),
+        )
+
+    q["q_robots_rules"] = q_robots_rules
+
+    def q_robots_disallow(spark, d):
+        """Disallow-prefix admission over a documents-derived frontier: rows
+        whose path falls under a host's Disallow prefix are dropped."""
+        from azure_blob_crawler_spark.functions.robots import filter_allowed
+
+        docs = T(spark, d, "documents")
+        path = (
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/private/doc"), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/tmp/doc"), F.col("doc_id").cast("string")))
+            .otherwise(F.concat(F.lit("/public/doc"), F.col("doc_id").cast("string")))
+        )
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"), F.lit(".example.com"))
+        frontier = docs.select(
+            "doc_id", host.alias("host"),
+            F.concat(F.lit("https://"), host, path).alias("url"),
+        )
+        hosts = frontier.select("host").distinct()
+        # even-numbered hosts forbid /private; host h3 also forbids /tmp
+        hid = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+        rules = hosts.select(
+            "host",
+            F.lit(None).cast("double").alias("crawl_delay_s"),
+            F.when(hid % 2 == 0, F.array(F.lit("/private")))
+            .when(hid == 3, F.array(F.lit("/private"), F.lit("/tmp")))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("disallow"),
+        )
+        return filter_allowed(frontier, rules).select("doc_id", "url")
+
+    q["q_robots_disallow"] = q_robots_disallow
+
     return q
 
 
@@ -1378,6 +1440,47 @@ def oracle_sql() -> dict[str, str]:
                    1.0::double as score
             from documents
             where lang = 'en' and n_chars > 500
+        """,
+        "q_robots_rules": """
+            with raw as (
+                select 'h' || cast(doc_id as varchar) || '.example.com' as host,
+                       'User-agent: *' || chr(10)
+                       || case when doc_id % 3 = 0
+                               then 'Crawl-delay: ' || cast(doc_id % 7 as varchar) || chr(10)
+                               else '' end
+                       || 'Disallow: /private' || cast(doc_id % 5 as varchar) || chr(10)
+                       || case when doc_id % 2 = 0 then 'Disallow: /tmp' || chr(10) else '' end
+                       || 'Allow: /' || chr(10) as robots_txt
+                from documents
+            )
+            select host,
+                   case when regexp_extract(robots_txt,
+                            '(?i)crawl-delay:\\s*([0-9]+\\.?[0-9]*)', 1) <> ''
+                        then regexp_extract(robots_txt,
+                            '(?i)crawl-delay:\\s*([0-9]+\\.?[0-9]*)', 1)::double end
+                       as crawl_delay_s,
+                   len(regexp_extract_all(robots_txt, '(?i)disallow:\\s*(/\\S*)', 1))
+                       as n_disallow,
+                   regexp_extract_all(robots_txt, '(?i)disallow:\\s*(/\\S*)', 1)[1]
+                       as first_disallow
+            from raw
+        """,
+        "q_robots_disallow": """
+            with f as (
+                select doc_id,
+                       cast(doc_id % 10 as int) as hid,
+                       case when doc_id % 4 = 0 then '/private/doc' || cast(doc_id as varchar)
+                            when doc_id % 4 = 1 then '/tmp/doc' || cast(doc_id as varchar)
+                            else '/public/doc' || cast(doc_id as varchar) end as path
+                from documents
+            )
+            select doc_id,
+                   'https://h' || cast(hid as varchar) || '.example.com' || path as url
+            from f
+            where not (
+                (hid % 2 = 0 and starts_with(path, '/private'))
+                or (hid = 3 and (starts_with(path, '/private') or starts_with(path, '/tmp')))
+            )
         """,
         "q_media_refs": """
             select doc_id,

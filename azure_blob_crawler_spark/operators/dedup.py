@@ -376,14 +376,12 @@ def embedding_near_dups(
         keys = (bits.transpose(0, 2, 1) * weights).sum(axis=1).astype(np.int64)
         return pd.Series(list(keys))
 
-    sig = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        band_keys(F.col(vec_col)).alias("keys"),
-    )
     # band join on ids only; vectors re-attach to the deduped candidate set
-    banded = sig.select(
-        "id", F.posexplode("keys").alias("band", "key")
+    # straight from the input (NOT via the signature plan — plan audit: that
+    # re-evaluated the LSH UDF once per verify leg)
+    banded = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(band_keys(F.col(vec_col))).alias("band", "key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -392,8 +390,8 @@ def embedding_near_dups(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -63,8 +63,17 @@ def claim_round(
     default_delay: float = config.DEFAULT_CRAWL_DELAY_S,
 ) -> DataFrame:
     """The next crawl round's claim set, with ``claim_rank`` (1-based global
-    priority position — the round's deterministic processing order)."""
+    priority position — the round's deterministic processing order).
+
+    When the robots table carries a ``disallow`` column (robots.txt rules
+    parsed by functions/robots.py), Disallow-prefix admission is enforced
+    before budgeting; a plain (host, crawl_delay_s) table behaves as
+    before."""
     pending = frontier.filter(F.col("state") == "pending")
+    if "disallow" in robots.columns:
+        from azure_blob_crawler_spark.functions.robots import filter_allowed
+
+        pending = filter_allowed(pending, robots)
     budgeted = with_budget(pending, robots, round_seconds, default_delay)
 
     # phase 1: salted pre-rank bounds per-task input under host skew
