@@ -73,6 +73,83 @@ def stream_ingest_links(
     q.awaitTermination()
 
 
+def stream_unseen_urls(
+    spark: SparkSession,
+    links_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+    shard_capacity: int = 1 << 12,
+) -> None:
+    """Stateful streaming seen-set: emit each URL the FIRST time it is ever
+    observed across all micro-batches and restarts.
+
+    The custom stateful operator the build brief calls for
+    (``applyInPandasWithState``): stream keyed by ``pmod(url_hash, B)``;
+    per-key GroupState = one serialized growable cuckoo chain
+    (operators/seen.py — same blob format as the batch seen-set shards), so
+    state memory is bounded and probes/inserts are vectorized numpy. The
+    checkpoint persists the filter blobs, making first-seen semantics hold
+    across separate ``availableNow`` drains — the streaming twin of the
+    batch crawl's cuckoo-prefiltered frontier dedup."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from azure_blob_crawler_spark.operators.seen import CuckooChain
+
+    out_schema = StructType(
+        [
+            StructField("url_hash", LongType()),
+            StructField("url", StringType()),
+            StructField("depth", IntegerType()),
+            StructField("discovery_seq", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("blob", BinaryType())])
+
+    def first_seen(key, pdf_iter, state: GroupState):
+        if state.exists:
+            chain = CuckooChain.from_bytes(bytes(state.get[0]))
+        else:
+            chain = CuckooChain.sized(shard_capacity)
+        for pdf in pdf_iter:
+            keep = []
+            for i, h in enumerate(pdf["url_hash"]):
+                h = int(h)
+                if not chain.contains(h):
+                    chain.insert(h)
+                    keep.append(i)
+            if keep:
+                yield pdf.iloc[keep][["url_hash", "url", "depth", "discovery_seq"]]
+        state.update((chain.to_bytes(),))
+
+    stream = spark.readStream.schema(LINKS_SCHEMA).parquet(links_dir)
+    canon = (
+        stream.withColumn("url", canonical_url("url"))
+        .withColumn("url_hash", url_hash(F.col("url")))
+        .withColumn("__cb", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
+    )
+    fresh = canon.groupBy("__cb").applyInPandasWithState(
+        first_seen, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        fresh.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -69,3 +69,25 @@ def test_frame_sample_plan(spark):
     )
     frames = MM.frame_sample_plan(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The on-disk IVF probe must (a) return exactly the in-memory probe's
+    result and (b) show the cell predicate as a PartitionFilter in the scan
+    (unprobed cells' files never open)."""
+    from azure_blob_crawler_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = SIM.train_centroids(emb, n_cells=8, sample=256)
+    with_cells = SIM.assign_cells(emb, cents)
+    idx = str(tmp_path / "ivf")
+    SIM.write_ivf_index(with_cells, idx)
+
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    from_index = SIM.ivf_topk_from_index(spark, idx, cents, qv, k=5, n_probe=3)
+    in_mem = SIM.ivf_topk(with_cells, cents, qv, k=5, n_probe=3)
+    assert [r["vec_id"] for r in from_index.collect()] == [
+        r["vec_id"] for r in in_mem.collect()
+    ]
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]

@@ -74,3 +74,41 @@ def test_windowed_event_counts(spark, tmp_path):
     bmap = {(r["wstart"], r["event_type"]): r["n"] for r in batch.collect()}
     for r in got:
         assert bmap[(r["wstart"], r["event_type"])] == r["n"]
+
+
+def test_stream_unseen_urls_stateful(spark, tmp_path):
+    """First-seen semantics hold WITHIN a drain, ACROSS micro-batch files,
+    and ACROSS separate availableNow runs (state lives in the checkpoint)."""
+    from azure_blob_crawler_spark.streaming.rounds import stream_unseen_urls
+
+    links_dir = str(tmp_path / "links")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(links_dir)
+
+    write_links(spark, links_dir, [
+        ("https://a.example.com/1.txt", 0, 1),
+        ("https://a.example.com/1.txt#frag", 0, 2),   # canonical dup, same drain
+        ("https://b.example.com/2.txt", 0, 3),
+    ])
+    stream_unseen_urls(spark, links_dir, out_dir, ckpt)
+    got1 = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {"https://a.example.com/1.txt", "https://b.example.com/2.txt"}
+
+    # a later drain with a repeat + a new URL: the repeat must be suppressed
+    # by the CHECKPOINTED filter state, not batch-local memory
+    write_links(spark, links_dir, [
+        ("https://b.example.com/2.txt", 1, 4),
+        ("https://c.example.com/3.txt", 1, 5),
+    ])
+    stream_unseen_urls(spark, links_dir, out_dir, ckpt)
+    rows = [r for r in spark.read.parquet(out_dir).collect()]
+    urls = sorted(r["url"] for r in rows)
+    assert urls == [
+        "https://a.example.com/1.txt",
+        "https://b.example.com/2.txt",
+        "https://c.example.com/3.txt",
+    ]
+    # every emitted hash unique — the operator IS the seen-set
+    hashes = [r["url_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes))
