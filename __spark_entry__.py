@@ -901,6 +901,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_robots_rules"] = q_robots_rules
 
+    def q_ivf_allprobe(spark, d):
+        """IVF plumbing invariant: probing EVERY cell must reduce exactly to
+        brute-force cosine top-k (assign → cell predicate → per-cell scan →
+        TakeOrdered loses nothing when nothing is pruned) — the oracle is the
+        plain brute-force SQL; the pruned path stays pytest-gated."""
+        emb = T(spark, d, "embeddings")
+        cents = SIM.train_centroids(emb, n_cells=8, sample=512)
+        qv = emb.filter(F.col("vec_id") == 2).select("embedding").collect()[0][0]
+        with_cells = SIM.assign_cells(emb, cents)
+        return SIM.ivf_topk(
+            with_cells, cents, [float(x) for x in qv], k=10, n_probe=8
+        ).select("vec_id", F.round("score", 6).alias("score"))
+
+    q["q_ivf_allprobe"] = q_ivf_allprobe
+
     def q_robots_disallow(spark, d):
         """Disallow-prefix admission over a documents-derived frontier: rows
         whose path falls under a host's Disallow prefix are dropped."""
@@ -1440,6 +1455,13 @@ def oracle_sql() -> dict[str, str]:
                    1.0::double as score
             from documents
             where lang = 'en' and n_chars > 500
+        """,
+        "q_ivf_allprobe": f"""
+            with qv as (select embedding as q from embeddings where vec_id = 2)
+            select vec_id, round({cosine_sql('embedding', 'q')}, 6) as score
+            from embeddings, qv
+            order by {cosine_sql('embedding', 'q')} desc, vec_id asc
+            limit 10
         """,
         "q_robots_rules": """
             with raw as (

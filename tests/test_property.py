@@ -94,3 +94,82 @@ def test_cuckoo_no_false_negatives(keys):
     assert all(cf.contains(k) for k in keys)
     rt = CuckooChain.from_bytes(cf.to_bytes())
     assert all(rt.contains(k) for k in keys)
+
+
+odata_fields = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+odata_ops = st.sampled_from(["eq", "ne", "gt", "ge", "lt", "le"])
+odata_values = st.one_of(
+    st.integers(-10**6, 10**6).map(str),
+    st.from_regex(r"-?\d+\.\d+", fullmatch=True),
+    st.text(alphabet="abc xyz0", max_size=8).map(lambda s: "'" + s.replace("'", "''") + "'"),
+    st.sampled_from(["true", "false", "null"]),
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(odata_fields, odata_ops, odata_values), min_size=1, max_size=4),
+    st.sampled_from(["and", "or"]),
+)
+def test_odata_translator_total_on_valid_grammar(terms, conj):
+    """Every expression in the supported grammar translates; the output
+    contains only SQL comparators (never raw OData op words as operators)."""
+    from azure_blob_crawler_spark.operators.query import _ODATA_OPS, odata_filter_to_sql
+
+    expr = f" {conj} ".join(f"{f} {op} {v}" for f, op, v in terms)
+    sql = odata_filter_to_sql(expr)
+    # every comparison operator was rewritten to its SQL symbol, in order
+    toks = sql.split()
+    got_ops = [t for t in toks if t in ("=", "<>", ">", ">=", "<", "<=")]
+    assert got_ops == [_ODATA_OPS[op] for _, op, _ in terms]
+    assert toks.count(conj.upper()) == len(terms) - 1
+    assert sql.count("'") % 2 == 0  # quotes stay balanced
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=40))
+def test_odata_translator_never_passes_junk(junk):
+    """Arbitrary text either translates (pure supported tokens) or raises —
+    no silent passthrough of unvalidated SQL."""
+    import re as _re
+
+    from azure_blob_crawler_spark.operators.query import odata_filter_to_sql
+
+    try:
+        sql = odata_filter_to_sql(junk)
+    except ValueError:
+        return
+    # accepted ⇒ every emitted token is from the safe alphabet
+    for tok in sql.split():
+        assert (
+            tok in ("AND", "OR", "NOT", "(", ")", "=", "<>", ">", ">=", "<", "<=",
+                     "true", "false", "null")
+            or _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tok)
+            or _re.fullmatch(r"-?\d+(\.\d+)?", tok)
+            or (tok.startswith("'") and tok.endswith("'"))
+        ), tok
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.from_regex(r"/[a-z0-9/]{0,12}", fullmatch=True), max_size=5),
+    st.one_of(st.none(), st.floats(0.1, 99, allow_nan=False).map(lambda f: round(f, 2))),
+)
+def test_robots_text_roundtrip(prefixes, delay):
+    """Generated robots.txt parses back to exactly its directives through
+    the MODULE's regexes (the ones both the Spark and DuckDB sides use)."""
+    import re as _re
+
+    from azure_blob_crawler_spark.functions.robots import _DELAY_RX, _DISALLOW_RX
+
+    txt = "User-agent: *\n"
+    if delay is not None:
+        txt += f"Crawl-delay: {delay}\n"
+    for p in prefixes:
+        txt += f"Disallow: {p}\n"
+    txt += "Allow: /\n"
+    got_delay = _re.search(_DELAY_RX, txt)
+    assert (got_delay is None) == (delay is None)
+    if delay is not None:
+        assert float(got_delay.group(1)) == delay
+    assert _re.findall(_DISALLOW_RX, txt) == prefixes
