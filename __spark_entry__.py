@@ -563,7 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         on WORD counts, because the sentence splitter consumes terminator
         tokens (chunking.py:187 parity) but never drops a word."""
         docs = with_extraction(documents_with_spans(spark, d)).select(
-            "doc_id", TXT.word_count(F.col("full_content")).alias("doc_words")
+            "doc_id",
+            TXT.word_count(F.col("full_content")).alias("doc_words"),
+            TXT.token_count(F.col("full_content")).alias("doc_tokens"),
         )
         stats = (
             _doc_chunks(spark, d, embed=False)
@@ -584,6 +586,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.coalesce("total_words", F.lit(0)) >= F.col("doc_words")).alias(
                     "covers_content"
                 ),
+                # VALUE-checked fast path: a single-text-span doc (mode 0)
+                # within budget must yield exactly one chunk — the oracle
+                # computes the same 1/NULL from doc_id and the text alone
+                F.when(
+                    (F.col("doc_id").cast("long") % 4 == 0) & (F.col("doc_tokens") <= 64),
+                    F.col("n_chunks"),
+                ).alias("n_chunks_fastpath"),
             )
         )
 
@@ -1335,7 +1344,10 @@ def oracle_sql() -> dict[str, str]:
         # violation on real data fails this row)
         "q_chunk_stats": """
             select doc_id, true as has_chunks, true as within_budget,
-                   true as covers_content
+                   true as covers_content,
+                   case when doc_id % 4 = 0
+                             and len(regexp_extract_all(text, '\\w{1,8}|[^\\w\\s]')) <= 64
+                        then 1 end as n_chunks_fastpath
             from documents
         """,
         "q_minhash_recall": """
