@@ -238,6 +238,11 @@ def odata_filter_to_sql(filter_str: str) -> str:
     for tok in tokens:
         low = tok.lower()
         if tok.startswith("'"):
+            # Accept only a complete quoted literal ('' escapes a quote).
+            # A dangling quote like `'a` otherwise matches the word branch of
+            # _ODATA_TOKEN and would flow unbalanced into F.expr.
+            if not re.fullmatch(r"'(?:[^']|'')*'", tok):
+                raise ValueError(f"unterminated string literal: {tok!r}")
             out.append(tok)
         elif low in _ODATA_OPS:
             out.append(_ODATA_OPS[low])

@@ -98,6 +98,13 @@ def test_odata_translation():
         Q.odata_filter_to_sql("chunk_id eq 'x'; drop table frontier")
     with pytest.raises(ValueError):
         Q.odata_filter_to_sql("")
+    # unterminated string literals must raise, never flow into F.expr
+    with pytest.raises(ValueError):
+        Q.odata_filter_to_sql("name eq 'a")
+    with pytest.raises(ValueError):
+        Q.odata_filter_to_sql("'0")
+    with pytest.raises(ValueError):
+        Q.odata_filter_to_sql("name eq '")
 
 
 def test_run_query_odata_filter(chunks):
