@@ -85,8 +85,12 @@ def build_bloom_shards(
     """Per-store-bucket bloom shards: (bucket, n_bits, n_hashes, bits).
 
     Each ``applyInPandas`` task sizes and fills exactly one shard from its
-    bucket's keys — no driver-side reduction, no monolithic bitmap. At
-    10^10 keys / 4k buckets a shard is ~3 MB at 1% FPP."""
+    bucket's keys — no driver-side reduction, no monolithic bitmap. The
+    whole bucket's keys materialize as one pandas group per task, so
+    ``n_store_buckets`` must scale with the table: size it with
+    ``config.seen_buckets_for(expected_keys)`` (~2^27 keys ≈ 1 GB of raw
+    int64 per task, shard bitmap ~20 MB at 1% FPP); the 64-bucket default
+    is a small-scale setting, not a 10^10-key one."""
     keyed = seen_hashes.select(col).withColumn(
         "__cb", F.pmod(F.col(col), F.lit(n_store_buckets)).cast("int")
     )
@@ -427,3 +431,60 @@ def cuckoo_insert(
     else:
         grouped_f = filters.withColumnRenamed("bucket", "__cb").groupBy("__cb")
     return grouped_k.cogroup(grouped_f).applyInPandas(upd, "bucket int, blob binary")
+
+
+MAX_CHAIN = 4  # rebuild a shard's geometry once its chain grows past this
+
+
+def rebuild_overgrown_shards(
+    shards: DataFrame,
+    authoritative_keys: DataFrame,
+    n_store_buckets: int = config.SEEN_BUCKETS,
+    hash_col: str = "url_hash",
+    max_chain: int = MAX_CHAIN,
+    headroom: int = 2,
+) -> DataFrame:
+    """Rebuild shards whose cuckoo chain exceeds ``max_chain`` sub-filters.
+
+    A CuckooChain only ever appends same-geometry sub-filters, so probe cost
+    and summed FPP grow linearly with chain length; unbounded, the prefilter
+    degrades to "route everything to the exact anti-join". The 16-bit
+    fingerprints cannot re-derive bucket indexes at a larger geometry, so the
+    rebuild reinserts from ``authoritative_keys`` (the frontier table — the
+    invariant maintained by the crawl is cuckoo ⊇ frontier, which a
+    frontier-sourced rebuild preserves by construction). Geometry is sized
+    for ``headroom ×`` the bucket's actual key count, so post-rebuild the
+    chain is a single sub-filter at ≤50% load.
+
+    Cost: one header-peek over the *touched* shards (8-byte chain-length
+    field, no table deserialization) + one bucket-local key scan per
+    overgrown shard. Returns ``shards`` unchanged (checkpointed) when no
+    chain is overgrown."""
+    # materialize once without leaving a long-lived cache entry; both the
+    # length peek and the caller's merge reuse this
+    shards = shards.localCheckpoint(eager=True)
+
+    @F.pandas_udf("int")
+    def _chain_len(blob: pd.Series) -> pd.Series:
+        return blob.map(lambda b: int.from_bytes(b[:8], "little"))
+
+    lens = shards.select("bucket", _chain_len("blob").alias("k")).collect()
+    over = [int(r["bucket"]) for r in lens if r["k"] > max_chain]
+    if not over:
+        return shards
+
+    keep = shards.filter(~F.col("bucket").isin(over))
+    keys = (
+        authoritative_keys.select(hash_col)
+        .withColumn("__cb", F.pmod(F.col(hash_col), F.lit(n_store_buckets)).cast("int"))
+        .filter(F.col("__cb").isin(over))
+    )
+
+    def rebuild(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.unique(pdf[hash_col].to_numpy(dtype=np.int64))
+        cf = CuckooChain.sized(max(4, headroom * len(arr)))
+        cf.insert_many(arr)
+        return pd.DataFrame({"bucket": [int(key[0])], "blob": [cf.to_bytes()]})
+
+    rebuilt = keys.groupBy("__cb").applyInPandas(rebuild, "bucket int, blob binary")
+    return keep.unionByName(rebuilt)

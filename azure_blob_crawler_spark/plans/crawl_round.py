@@ -38,7 +38,13 @@ from azure_blob_crawler_spark.operators.extraction import (
 )
 from azure_blob_crawler_spark.operators.linkextract import extract_links
 from azure_blob_crawler_spark.operators.scheduler import claim_round
-from azure_blob_crawler_spark.operators.seen import cuckoo_insert, cuckoo_probe, filter_unseen
+from azure_blob_crawler_spark.operators.sequence import assign_global_seq
+from azure_blob_crawler_spark.operators.seen import (
+    cuckoo_insert,
+    cuckoo_probe,
+    filter_unseen,
+    rebuild_overgrown_shards,
+)
 from azure_blob_crawler_spark.sources.store import SnapshotStore
 from azure_blob_crawler_spark.sources.synthetic import make_fetch_udf
 
@@ -291,14 +297,21 @@ class CrawlRunner:
             .drop("__rn")
         )
         fresh = self._filter_unseen(batch_unique, frontier).persist()
-        w_seq = Window.orderBy("claim_rank", "link_idx", "url")
-        new_rows = fresh.withColumn(
-            "discovery_seq", F.lit(next_seq) - 1 + F.row_number().over(w_seq)
+        n_new = fresh.count()
+        # global numbering without an unbounded single-partition window:
+        # small rounds rank in one task (bound proven by the count just
+        # taken), big rounds use the two-phase range-partition + prefix-sum
+        # path — same discovery_seq values either way
+        new_rows = assign_global_seq(
+            fresh,
+            ["claim_rank", "link_idx", "url"],
+            "discovery_seq",
+            start=next_seq,
+            bounded_rows=n_new,
         ).select(
             "url_hash", "url", "host", "depth", "discovery_seq",
             F.lit("pending").alias("state"), F.lit(0).alias("attempts"),
         )
-        n_new = fresh.count()
 
         # 6b. maintain the cuckoo seen-set BEFORE the frontier commit so the
         # invariant cuckoo ⊇ frontier survives a crash between the two
@@ -308,6 +321,14 @@ class CrawlRunner:
             shards = self.store.read(SEEN_CUCKOO) if self.store.exists(SEEN_CUCKOO) else None
             updated = cuckoo_insert(
                 new_rows.select("url_hash"), shards, n_store_buckets=self.n_buckets
+            )
+            # bound chain growth: shards whose chain exceeds MAX_CHAIN are
+            # rebuilt at larger geometry from the authoritative key source
+            # (frontier ∪ this round's new rows — preserves cuckoo ⊇ frontier)
+            updated = rebuild_overgrown_shards(
+                updated,
+                frontier.select("url_hash").unionByName(new_rows.select("url_hash")),
+                n_store_buckets=self.n_buckets,
             )
             self._merge_or_create(SEEN_CUCKOO, updated, key="bucket")
 

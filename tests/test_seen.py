@@ -13,6 +13,7 @@ from azure_blob_crawler_spark.operators.seen import (
     cuckoo_insert,
     cuckoo_probe,
     filter_unseen,
+    rebuild_overgrown_shards,
 )
 
 
@@ -133,6 +134,42 @@ def test_cuckoo_distributed_overflow(spark):
     )
     assert tagged.filter(~F.col("maybe_seen")).count() == 0
     shards.unpersist()
+
+
+def test_cuckoo_rebuild_bounds_chain_length(spark):
+    """≥20× a shard's initial capacity: without rebuild the chain is dozens
+    of same-geometry sub-filters deep; after rebuild_overgrown_shards every
+    shard is back to ≤ MAX_CHAIN sub-filters with zero probe misses."""
+    n = 50_000  # 2 shards sized from a 2k first batch → later rounds ~24× over
+    keys = spark.range(n).select((F.col("id") * 7919).alias("url_hash"))
+    first = spark.range(2000).select((F.col("id") * 7919).alias("url_hash"))
+    rest = spark.range(2000, n).select((F.col("id") * 7919).alias("url_hash"))
+    shards = cuckoo_insert(first, None, n_store_buckets=2, shard_capacity=4)
+    shards = cuckoo_insert(rest, shards, n_store_buckets=2, shard_capacity=4)
+
+    def chain_lens(df):
+        return {r["bucket"]: int.from_bytes(bytes(r["blob"][:8]), "little")
+                for r in df.collect()}
+
+    before = chain_lens(shards)
+    assert max(before.values()) > 4  # the repro actually overgrows
+    rebuilt = rebuild_overgrown_shards(shards, keys, n_store_buckets=2)
+    after = chain_lens(rebuilt)
+    assert set(after) == set(before)
+    assert max(after.values()) <= 4
+    # membership unchanged: zero false negatives on every inserted key
+    tagged = cuckoo_probe(keys, rebuilt, n_store_buckets=2)
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_rebuild_noop_when_healthy(spark):
+    """Shards within the chain bound pass through untouched (same blobs)."""
+    keys = spark.range(1000).select(F.col("id").alias("url_hash"))
+    shards = cuckoo_insert(keys, None, n_store_buckets=4)
+    out = rebuild_overgrown_shards(shards, keys, n_store_buckets=4)
+    got = {r["bucket"]: bytes(r["blob"]) for r in out.collect()}
+    want = {r["bucket"]: bytes(r["blob"]) for r in shards.collect()}
+    assert got == want
 
 
 def test_scalar_filter_matches_chain():

@@ -7,7 +7,11 @@ the ENTIRE table. Merge-on-read appends delta files and reconciles at read
 (newest generation wins per key), so bytes written ∝ delta. This script
 measures both sides of that claim on a real table:
 
-  python tools/bench_merge.py [table_rows] [delta_rows]
+  python tools/bench_merge.py [table_rows] [delta_rows] [n_buckets]
+
+``n_buckets`` defaults to config.SEEN_BUCKETS (64); pass 512+ to evidence
+that commit bytes stay ∝ delta and probe/merge parallelism scales with the
+bucket count (the 10^10-key shape — see config.seen_buckets_for).
 
 Prints one JSON line for BASELINE.md.
 """
@@ -48,7 +52,8 @@ def main() -> None:
         base = spark.range(n).select(
             F.col("id").alias("k"), (F.col("id") % 97).alias("v"), F.lit("pending").alias("s")
         )
-        st.create("t", base, key="k", n_buckets=64)
+        n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+        st.create("t", base, key="k", n_buckets=n_buckets)
         table_bytes = du(root)
 
         upd = spark.range(delta_n).select(
@@ -78,6 +83,7 @@ def main() -> None:
                     "rows_after_merge": n_after,
                     "touched_buckets": len(summary.get("touched_buckets", [])),
                     "mode": summary.get("mode"),
+                    "n_buckets": n_buckets,
                 }
             )
         )
