@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from azure_blob_crawler_spark import config
+from azure_blob_crawler_spark.operators.sequence import assign_global_seq
 
 SALT_FACTOR = 8
 
@@ -93,7 +94,11 @@ def claim_round(
     )
 
     claimed = eligible.orderBy(*_priority()).limit(round_size)
-    w_global = Window.orderBy(*_priority())
-    return claimed.withColumn("claim_rank", F.row_number().over(w_global)).drop(
-        "host_budget", "host_rank"
+    # global rank over ≤ round_size rows (TakeOrdered bounds the input):
+    # small rounds rank in one constant-partition window; huge rounds go
+    # through the two-phase range-partition + prefix-sum path
+    return (
+        assign_global_seq(claimed, _priority(), "claim_rank", bounded_rows=round_size)
+        .withColumn("claim_rank", F.col("claim_rank").cast("int"))
+        .drop("host_budget", "host_rank")
     )
