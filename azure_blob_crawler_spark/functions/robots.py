@@ -49,8 +49,15 @@ def robots_rules_sql(host_expr: str, text_expr: str) -> dict[str, str]:
 
 
 def url_path_of(url: Column) -> Column:
-    """Path component ('' → '/') of an absolute URL, native."""
-    rest = F.substring_index(F.substring_index(url, "://", -1), "?", 1)
+    """Path component ('' → '/') of an absolute URL, native.
+
+    Splits on the FIRST '://' — a URL embedding another absolute URL in its
+    query (``https://a.com/p?next=https://b.com/x``, a common redirect
+    shape the canonicalizer preserves) must not shift the parse to the
+    embedded URL's path, which the last-occurrence ``substring_index``
+    form did."""
+    sch = F.split_part(url, F.lit("://"), F.lit(1))
+    rest = F.substring_index(F.substr(url, F.length(sch) + F.lit(4)), "?", 1)
     slash = F.instr(rest, "/")
     path = F.when(slash > 0, F.substring(rest, slash, 1_000_000)).otherwise(F.lit("/"))
     return path

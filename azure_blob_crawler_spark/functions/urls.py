@@ -209,6 +209,67 @@ def url_host_py(canon: str) -> str:
     return rest.split("/", 1)[0].split("?", 1)[0]
 
 
+_SCHEME_RX = "^[A-Za-z][A-Za-z0-9+.-]*:"
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Absolute-ize an href against its source document's (canonical) URL.
+
+    RFC-3986-lite reference resolution as a native column expression
+    (when/concat/regexp — no UDF): absolute http(s) hrefs pass through;
+    protocol-relative ``//h/p`` take the base scheme; rooted ``/p``,
+    query-only ``?q`` and bare relative ``p2.html``/``../x`` resolve against
+    the base authority/path (later ``canonical_url`` collapses dot
+    segments). Returns NULL — caller drops the row — for fragment-only
+    hrefs and unsupported schemes (mailto:, javascript:, data:, ...),
+    which the previous behavior pushed straight into ``canonical_url``
+    producing junk rows with empty hosts."""
+    h = F.trim(href)
+    sch = F.lower(F.split_part(base, F.lit("://"), F.lit(1)))
+    # first-'://' split (an embedded absolute URL in the query must not
+    # shift the parse — the substring_index(-1) form would split on the LAST)
+    rest = F.substr(base, F.length(sch) + F.lit(4))
+    auth = F.split_part(rest, F.lit("/"), F.lit(1))
+    pq = F.substr(rest, F.length(auth) + F.lit(1))
+    path = F.split_part(pq, F.lit("?"), F.lit(1))
+    basedir = F.regexp_replace(path, "/[^/]*$", "")
+    return (
+        F.when(F.startswith(h, F.lit("#")), F.lit(None).cast("string"))
+        .when(
+            h.rlike(_SCHEME_RX),
+            F.when(F.lower(h).rlike("^https?://"), h).otherwise(F.lit(None).cast("string")),
+        )
+        .when(F.startswith(h, F.lit("//")), F.concat(sch, F.lit(":"), h))
+        .when(F.startswith(h, F.lit("/")), F.concat(sch, F.lit("://"), auth, h))
+        .when(F.startswith(h, F.lit("?")), F.concat(sch, F.lit("://"), auth, path, h))
+        .otherwise(F.concat(sch, F.lit("://"), auth, basedir, F.lit("/"), h))
+    )
+
+
+def resolve_href_py(base: str, href: str) -> str | None:
+    """Pure-Python twin of ``resolve_href`` (simulator/test parity)."""
+    import re
+
+    h = href.strip()
+    if h.startswith("#"):
+        return None
+    if re.match(_SCHEME_RX, h):
+        return h if re.match("^https?://", h, re.IGNORECASE) else None
+    scheme, _, rest = base.partition("://")
+    scheme = scheme.lower()
+    auth, slash, tail = rest.partition("/")
+    pq = slash + tail if slash else ""
+    path = pq.split("?", 1)[0]
+    if h.startswith("//"):
+        return f"{scheme}:{h}"
+    if h.startswith("/"):
+        return f"{scheme}://{auth}{h}"
+    if h.startswith("?"):
+        return f"{scheme}://{auth}{path}{h}"
+    basedir = re.sub("/[^/]*$", "", path)
+    return f"{scheme}://{auth}{basedir}/{h}"
+
+
 def url_hash(canon: Column | str) -> Column:
     """64-bit key for the seen-set / frontier dedup (xxhash64, JVM-native)."""
     c = F.col(canon) if isinstance(canon, str) else canon

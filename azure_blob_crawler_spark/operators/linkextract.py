@@ -11,13 +11,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from azure_blob_crawler_spark.functions.urls import canonical_url, url_hash, url_host
+from azure_blob_crawler_spark.functions.urls import (
+    canonical_url,
+    resolve_href,
+    url_hash,
+    url_host,
+)
 
 HREF_PATTERN = r'href="([^"]+)"'
 
 
-def extract_links(docs: DataFrame, content_col: str = "full_content") -> DataFrame:
+def extract_links(
+    docs: DataFrame, content_col: str = "full_content", base_col: str = "url"
+) -> DataFrame:
     """(doc columns) -> one row per extracted link with ``link_idx`` position.
+
+    Relative hrefs (``/page2``, ``page2.html``, ``//h/p``, ``?q=1``) resolve
+    against the source document's URL (``base_col``) before canonicalization;
+    unsupported schemes (mailto:, javascript:, ...) and fragment-only hrefs
+    are dropped. ``link_idx`` keeps the ORIGINAL in-document anchor position
+    (dropped rows leave gaps), so discovery order of surviving links is
+    unchanged by the filtering.
 
     Output: all input columns + link_idx int, link_url (canonical),
     link_host, link_hash.
@@ -26,9 +40,11 @@ def extract_links(docs: DataFrame, content_col: str = "full_content") -> DataFra
     exploded = docs.select(
         "*", F.posexplode_outer(anchors).alias("link_idx", "raw_link")
     ).filter(F.col("raw_link").isNotNull())
-    canon = canonical_url(F.col("raw_link"))
+    resolved = resolve_href(F.col(base_col), F.col("raw_link"))
+    canon = canonical_url(resolved)
     return (
         exploded.withColumn("link_url", canon)
+        .filter(F.col("link_url").isNotNull())
         .withColumn("link_host", url_host(F.col("link_url")))
         .withColumn("link_hash", url_hash(F.col("link_url")))
         .drop("raw_link")

@@ -57,6 +57,9 @@ def test_url_path_and_disallow(spark):
             ("https://a.com", ["/private"], False),       # bare host → path '/'
             ("https://a.com/p?q=/private", ["/private"], False),  # query ignored
             ("https://a.com/tmp", ["/private", "/tmp"], True),
+            # embedded absolute URL in the query: the OUTER path decides
+            ("https://a.com/p?next=https://b.com/private/x", ["/private"], False),
+            ("https://a.com/private/p?next=https://b.com/ok", ["/private"], True),
         ],
         "url string, dis array<string>, expect boolean",
     )
