@@ -223,6 +223,23 @@ class SnapshotStore:
             raise ValueError(f"table {name} is empty and schema-less at v{m['version']}")
         return df
 
+    def read_buckets(
+        self, name: str, buckets, version: int | None = None
+    ) -> DataFrame | None:
+        """Bucket-selective reconciled read — the scan touches only the
+        listed buckets' files (None when none of them hold data). The
+        pruning a caller needs to anti-join a small batch against a huge
+        table without a full scan."""
+        m = self._manifest(name, version)
+        return self._read_reconciled(name, m, buckets=buckets)
+
+    def bucket_expr(self, name: str, version: int | None = None):
+        """The table's bucket-id column expression (apply to a DataFrame
+        carrying the table's key columns to find which buckets rows land
+        in)."""
+        m = self._manifest(name, version)
+        return self._bucket_col(m["key"], m["n_buckets"])
+
     def table_bytes(self, name: str, manifest: dict | None = None) -> int:
         """Current on-disk size of the table's live data dirs (driver-side
         walk of the manifest's unique version dirs — local-fs cheap; on a

@@ -57,8 +57,21 @@ def stream_ingest_links(
                 summary={"stream_batch": batch_id},
             )
             return
-        current = store.read(frontier_table).select("url_hash")
-        fresh = batch.join(current, "url_hash", "left_anti")
+        # bucket-pruned anti-join: a micro-batch touches few buckets of a
+        # huge frontier — read only those instead of a full table scan
+        batch = batch.localCheckpoint(eager=True)
+        touched = [
+            r["b"]
+            for r in batch.select(store.bucket_expr(frontier_table).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        current = store.read_buckets(frontier_table, touched)
+        fresh = (
+            batch.join(current.select("url_hash"), "url_hash", "left_anti")
+            if current is not None
+            else batch
+        )
         store.merge(frontier_table, fresh, summary={"stream_batch": batch_id})
 
     q = (

@@ -179,3 +179,26 @@ def test_time_travel_and_summary(spark, tmp_path):
     assert st.read("t", version=2).filter(F.col("v") == 0).count() == 5
     assert st.summary("t")["round"] == 1
     assert [h["summary"].get("round") for h in st.history("t")] == [0, 1]
+
+
+def test_read_buckets_prunes_scan(spark, tmp_path):
+    """Bucket-selective read touches only the listed buckets' files, and a
+    post-merge (dirty, multi-generation) bucket reconciles identically to
+    the full read's view of it."""
+    st = make_store(spark, tmp_path)
+    st.create("t", base_df(spark, 500), key="k", n_buckets=8)
+    updates = spark.range(0, 500, 7).select(
+        F.col("id").alias("k"), F.lit(-5).alias("v"), F.lit("done").alias("s")
+    )
+    st.merge("t", updates)
+    for b in (0, 3):
+        one = st.read_buckets("t", [b])
+        files = one.inputFiles()
+        assert files and all(f"__bucket={b}" in f for f in files)
+        full = st.read("t").withColumn("__b", st.bucket_expr("t"))
+        want = sorted(
+            (r["k"], r["v"]) for r in full.filter(F.col("__b") == b).collect()
+        )
+        got = sorted((r["k"], r["v"]) for r in one.collect())
+        assert got == want and got
+    assert st.read_buckets("t", [99]) is None
