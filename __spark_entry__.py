@@ -225,6 +225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_rollup"] = q_rollup
 
     def q_setops(spark, d):
+        """Distinct set ops (union/intersect/except) AND multiset exceptAll
+        multiplicities in one tagged result — one contract row covers §2.7.
+        (Merged with the former q_multiset_ops: the driver records at most
+        50 queries, so near-duplicate coverage is consolidated.)"""
         c = T(spark, d, "customer")
         o = T(spark, d, "orders")
         building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -235,8 +239,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(o, c.c_custkey == o.o_custkey, "left_anti")
             .select("c_custkey")
         )
-        return (
+        dist = (
             building.intersect(with_orders).exceptAll(rich).distinct().union(machinery_no_orders).distinct()
+        )
+        open_o = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+        multiset = open_o.exceptAll(urgent).groupBy("o_custkey").agg(
+            F.count("*").alias("multiplicity")
+        )
+        return dist.select(
+            F.lit("distinct_ops").alias("op"),
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.lit(1).cast("long").alias("multiplicity"),
+        ).unionByName(
+            multiset.select(
+                F.lit("except_all").alias("op"),
+                F.col("o_custkey").cast("long").alias("custkey"),
+                F.col("multiplicity").cast("long").alias("multiplicity"),
+            )
         )
 
     q["q_setops"] = q_setops
@@ -308,23 +328,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_cube"] = q_cube
 
-    def q_exists_subquery(spark, d):
+    def q_subqueries(spark, d):
+        """EXISTS-semi and NOT-IN-anti subquery rewrites in one tagged
+        result (merged q_exists_subquery + q_in_subquery_anti: the driver
+        records at most 50 queries). Float acctbal is carried as integer
+        cents so the string val column is formatting-stable cross-engine."""
         c = T(spark, d, "customer")
         big = T(spark, d, "orders").filter(F.col("o_totalprice") > 400_000).select("o_custkey")
-        return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
-            "c_custkey", "c_acctbal"
+        exists_leg = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+            F.lit("exists_semi").alias("tag"),
+            F.col("c_custkey").cast("long").alias("key"),
+            F.round(F.col("c_acctbal") * 100).cast("long").cast("string").alias("val"),
         )
-
-    q["q_exists_subquery"] = q_exists_subquery
-
-    def q_in_subquery_anti(spark, d):
         p = T(spark, d, "part")
         li = T(spark, d, "lineitem").filter(F.col("l_quantity") > 45).select("l_partkey")
-        return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
-            "p_partkey", "p_name"
+        anti_leg = p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+            F.lit("in_anti").alias("tag"),
+            F.col("p_partkey").cast("long").alias("key"),
+            F.col("p_name").alias("val"),
         )
+        return exists_leg.unionByName(anti_leg)
 
-    q["q_in_subquery_anti"] = q_in_subquery_anti
+    q["q_subqueries"] = q_subqueries
 
     def q_string_funcs(spark, d):
         s = T(spark, d, "supplier")
@@ -375,14 +400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_having"] = q_having
-
-    def q_multiset_ops(spark, d):
-        o = T(spark, d, "orders")
-        a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-        b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-        return a.exceptAll(b).groupBy("o_custkey").agg(F.count("*").alias("multiplicity"))
-
-    q["q_multiset_ops"] = q_multiset_ops
 
     def q_sessionize(spark, d):
         ev = T(spark, d, "events")
@@ -1086,18 +1103,30 @@ def oracle_sql() -> dict[str, str]:
             group by rollup(r_name, n_name)
         """,
         "q_setops": """
-            select distinct c_custkey from (
-                (select c_custkey from customer where c_mktsegment = 'BUILDING'
-                 intersect
-                 select c_custkey from customer
-                 where c_custkey in (select o_custkey from orders)
-                 except
-                 select c_custkey from customer where c_acctbal >= 100)
-                union
-                select c_custkey from customer
-                where c_mktsegment = 'MACHINERY'
-                  and c_custkey not in (select o_custkey from orders)
+            select 'distinct_ops' as op, cast(c_custkey as bigint) as custkey,
+                   cast(1 as bigint) as multiplicity
+            from (
+                select distinct c_custkey from (
+                    (select c_custkey from customer where c_mktsegment = 'BUILDING'
+                     intersect
+                     select c_custkey from customer
+                     where c_custkey in (select o_custkey from orders)
+                     except
+                     select c_custkey from customer where c_acctbal >= 100)
+                    union
+                    select c_custkey from customer
+                    where c_mktsegment = 'MACHINERY'
+                      and c_custkey not in (select o_custkey from orders)
+                )
             )
+            union all
+            select 'except_all' as op, cast(o_custkey as bigint) as custkey,
+                   cast(count(*) as bigint) as multiplicity
+            from (
+                select o_custkey from orders where o_orderstatus = 'O'
+                except all
+                select o_custkey from orders where o_orderpriority = '1-URGENT'
+            ) group by o_custkey
         """,
         "q_semi_anti_counts": """
             select n_name,
@@ -1142,13 +1171,15 @@ def oracle_sql() -> dict[str, str]:
             from orders
             group by cube(o_orderstatus, o_orderpriority)
         """,
-        "q_exists_subquery": """
-            select c_custkey, c_acctbal from customer
+        "q_subqueries": """
+            select 'exists_semi' as tag, cast(c_custkey as bigint) as key,
+                   cast(cast(round(c_acctbal * 100) as bigint) as varchar) as val
+            from customer
             where exists (select 1 from orders
                           where o_custkey = c_custkey and o_totalprice > 400000)
-        """,
-        "q_in_subquery_anti": """
-            select p_partkey, p_name from part
+            union all
+            select 'in_anti' as tag, cast(p_partkey as bigint) as key, p_name as val
+            from part
             where p_partkey not in (select l_partkey from lineitem where l_quantity > 45)
         """,
         "q_string_funcs": """
@@ -1181,13 +1212,6 @@ def oracle_sql() -> dict[str, str]:
         "q_having": """
             select o_custkey, count(*) as n_orders
             from orders group by o_custkey having count(*) >= 10
-        """,
-        "q_multiset_ops": """
-            select o_custkey, count(*) as multiplicity from (
-                select o_custkey from orders where o_orderstatus = 'O'
-                except all
-                select o_custkey from orders where o_orderpriority = '1-URGENT'
-            ) group by o_custkey
         """,
         "q_sessionize": """
             select user_id, sum(new_session)::bigint as n_sessions, count(*) as n_events
