@@ -942,6 +942,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ivf_allprobe"] = q_ivf_allprobe
 
+    def q_link_resolve(spark, d):
+        """Relative-href resolution through the full link-extraction
+        operator: six href shapes (absolute, rooted, bare-relative,
+        protocol-relative, query-only, mailto) embedded per document; the
+        oracle constructs the expected resolved URLs directly. mailto is
+        dropped, surviving links keep their original anchor index."""
+        from azure_blob_crawler_spark.operators.linkextract import extract_links
+
+        docs = T(spark, d, "documents")
+        sid = F.col("doc_id").cast("string")
+        k7 = (F.col("doc_id") % 7).cast("string")
+        k5 = (F.col("doc_id") % 5).cast("string")
+        k3 = (F.col("doc_id") % 3).cast("string")
+        base = F.concat(
+            F.lit("https://h"), k7, F.lit(".example.com/dir"), k5,
+            F.lit("/page"), sid, F.lit(".html"),
+        )
+        hrefs = [
+            F.concat(F.lit("https://x"), k3, F.lit(".org/abs"), sid),
+            F.concat(F.lit("/rooted/p"), sid),
+            F.concat(F.lit("rel"), sid, F.lit(".html")),
+            F.concat(F.lit("//cdn"), k3, F.lit(".example.com/lib"), sid),
+            F.concat(F.lit("?page="), sid),
+            F.lit("mailto:nobody@example.com"),
+        ]
+        content = F.concat(
+            *[x for h in hrefs for x in (F.lit('<a href="'), h, F.lit('">x</a>'))]
+        )
+        src = docs.select("doc_id", base.alias("url"), content.alias("full_content"))
+        return extract_links(src).select("doc_id", "link_idx", "link_url", "link_host")
+
+    q["q_link_resolve"] = q_link_resolve
+
     def q_robots_disallow(spark, d):
         """Disallow-prefix admission over a documents-derived frontier: rows
         whose path falls under a host's Disallow prefix are dropped."""
@@ -1522,6 +1555,35 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract_all(robots_txt, '(?i)disallow:\\s*(/\\S*)', 1)[1]
                        as first_disallow
             from raw
+        """,
+        "q_link_resolve": """
+            with d as (
+                select doc_id,
+                       cast(doc_id % 7 as varchar) as k7,
+                       cast(doc_id % 5 as varchar) as k5,
+                       cast(doc_id % 3 as varchar) as k3,
+                       cast(doc_id as varchar) as id
+                from documents
+            )
+            select doc_id, 0 as link_idx,
+                   'https://x' || k3 || '.org/abs' || id as link_url,
+                   'x' || k3 || '.org' as link_host
+            from d
+            union all
+            select doc_id, 1, 'https://h' || k7 || '.example.com/rooted/p' || id,
+                   'h' || k7 || '.example.com' from d
+            union all
+            select doc_id, 2,
+                   'https://h' || k7 || '.example.com/dir' || k5 || '/rel' || id || '.html',
+                   'h' || k7 || '.example.com' from d
+            union all
+            select doc_id, 3, 'https://cdn' || k3 || '.example.com/lib' || id,
+                   'cdn' || k3 || '.example.com' from d
+            union all
+            select doc_id, 4,
+                   'https://h' || k7 || '.example.com/dir' || k5 || '/page' || id
+                       || '.html?page=' || id,
+                   'h' || k7 || '.example.com' from d
         """,
         "q_robots_disallow": """
             with f as (
