@@ -5,18 +5,22 @@ this module turns raw robots.txt text into the scheduler's rules table and
 adds Disallow-prefix admission. The reference has no robots handling (its
 input is a trusted blob container) — this is crawl-fidelity the engine adds.
 
-Scope (documented): the single-group subset — directives are read file-wide
-as if under ``User-agent: *`` (the common shape for synthetic corpora and
-most small sites). Per-agent group resolution would need stateful line
-parsing, which is not expressible as a pure column transform; a grouped
-``applyInPandas`` variant can be layered if per-agent targeting is needed.
+Two parsing tiers:
 
-Both directives parse with the same regexes in Spark and DuckDB
-(``robots_rules_sql``), so the rules table is correctness-oracled.
+- ``robots_rules`` — the single-group subset: directives read file-wide as
+  if under ``User-agent: *``. Fully Catalyst-native and dialect-paired with
+  DuckDB (``robots_rules_sql``), so this tier is correctness-oracled.
+- ``robots_rules_grouped`` — RFC-9309-style per-agent group resolution
+  (``User-agent:`` runs open a group; the group with the longest agent
+  token matching ours wins, ``*`` as fallback). Group parsing is stateful
+  line scanning, so this tier is an Arrow-batched pandas UDF with a pure-
+  Python twin (``parse_robots_grouped_py``) pinned by tests. A site with
+  ``User-agent: badbot / Disallow: /`` no longer blankets this engine.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,6 +50,84 @@ def robots_rules_sql(host_expr: str, text_expr: str) -> dict[str, str]:
         "crawl_delay_s": f"case when {delay} <> '' then {delay}::double end",
         "disallow": f"regexp_extract_all({text_expr}, '(?i)disallow:\\s*(/\\S*)', 1)",
     }
+
+
+ENGINE_AGENT = "sparkcrawler"
+
+
+def parse_robots_grouped_py(
+    text: str, agent: str = ENGINE_AGENT
+) -> tuple[float | None, list[str]]:
+    """Group-resolved (crawl_delay_s, disallow_prefixes) for ``agent``.
+
+    RFC 9309 shape: consecutive ``User-agent:`` lines share one group; a
+    directive line closes the agent run. The applicable group is the one
+    whose agent token is the longest case-insensitive substring of our
+    agent; ``*`` applies only when no specific group matches. Unknown
+    fields (Sitemap:, Allow:) close agent runs but are otherwise ignored;
+    Disallow values not starting with '/' (including the empty
+    allow-everything form) add no prefix."""
+    groups: list[dict] = []
+    cur: dict | None = None
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            if cur is None or cur["closed"]:
+                cur = {"agents": [], "delay": None, "dis": [], "closed": False}
+                groups.append(cur)
+            cur["agents"].append(value.lower())
+        elif cur is not None:
+            cur["closed"] = True
+            if field == "disallow":
+                if value.startswith("/"):
+                    cur["dis"].append(value)
+            elif field == "crawl-delay":
+                try:
+                    cur["delay"] = float(value)
+                except ValueError:
+                    pass
+    agent_l = agent.lower()
+    best, best_len = None, -1
+    for g in groups:
+        for a in g["agents"]:
+            if a == "*":
+                if best_len < 0:
+                    best, best_len = g, 0
+            elif a and a in agent_l and len(a) > best_len:
+                best, best_len = g, len(a)
+    if best is None:
+        return (None, [])
+    return (best["delay"], list(best["dis"]))
+
+
+def robots_rules_grouped(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = ENGINE_AGENT,
+) -> DataFrame:
+    """Per-agent (host, crawl_delay_s, disallow) rules table.
+
+    Same output schema as ``robots_rules`` — drop-in for
+    ``scheduler.claim_round``/``filter_allowed`` — but directives are
+    resolved to the group targeting ``agent``. Stateful line parsing runs
+    as one Arrow-batched pandas UDF call per batch (no per-row Python
+    round trips)."""
+
+    @F.pandas_udf("crawl_delay_s double, disallow array<string>")
+    def parse(texts: pd.Series) -> pd.DataFrame:
+        rows = [parse_robots_grouped_py(t, agent) for t in texts.fillna("")]
+        return pd.DataFrame(
+            {"crawl_delay_s": [r[0] for r in rows], "disallow": [r[1] for r in rows]}
+        )
+
+    return df.select(
+        F.col(host_col).alias("host"), parse(F.col(text_col)).alias("__r")
+    ).select("host", "__r.crawl_delay_s", "__r.disallow")
 
 
 def url_path_of(url: Column) -> Column:

@@ -111,3 +111,84 @@ def test_filter_allowed(spark):
     )
     kept = sorted(r["id"] for r in filter_allowed(frontier, rules).collect())
     assert kept == [2, 3]
+
+
+ROBOTS_GROUPED = """# example
+User-agent: badbot
+Disallow: /
+
+User-agent: sparkcrawler
+User-agent: otherbot
+Crawl-delay: 2.5
+Disallow: /private
+Disallow: /tmp
+
+User-agent: *
+Crawl-delay: 9
+Disallow: /all
+"""
+
+
+def test_grouped_parse_python():
+    from azure_blob_crawler_spark.functions.robots import parse_robots_grouped_py
+
+    # specific group wins over badbot's blanket and the * fallback
+    delay, dis = parse_robots_grouped_py(ROBOTS_GROUPED, "SparkCrawler/1.0")
+    assert delay == 2.5 and dis == ["/private", "/tmp"]
+    # unknown agent falls back to *
+    delay, dis = parse_robots_grouped_py(ROBOTS_GROUPED, "someone-else")
+    assert delay == 9.0 and dis == ["/all"]
+    # the blanket group applies only to badbot
+    delay, dis = parse_robots_grouped_py(ROBOTS_GROUPED, "badbot")
+    assert delay is None and dis == ["/"]
+    # no matching group at all → no rules
+    assert parse_robots_grouped_py("User-agent: x\nDisallow: /q", "y") == (None, [])
+    # empty Disallow (allow-everything) adds no prefix
+    assert parse_robots_grouped_py("User-agent: *\nDisallow:", "y") == (None, [])
+    # directives before any User-agent line are ignored
+    assert parse_robots_grouped_py("Disallow: /x\nUser-agent: *\nDisallow: /y", "z") == (
+        None,
+        ["/y"],
+    )
+
+
+def test_grouped_rules_spark_matches_python(spark):
+    from azure_blob_crawler_spark.functions.robots import (
+        parse_robots_grouped_py,
+        robots_rules_grouped,
+    )
+
+    texts = [
+        ("a.com", ROBOTS_GROUPED),
+        ("b.com", "User-agent: *\nDisallow: /only\nCrawl-delay: 1"),
+        ("c.com", "User-agent: badbot\nDisallow: /\n"),
+        ("d.com", None),
+    ]
+    df = spark.createDataFrame(texts, "host string, robots_txt string")
+    got = {
+        r["host"]: (r["crawl_delay_s"], list(r["disallow"]))
+        for r in robots_rules_grouped(df).collect()
+    }
+    for host, txt in texts:
+        want_delay, want_dis = parse_robots_grouped_py(txt or "")
+        assert got[host] == (want_delay, want_dis), host
+
+
+def test_grouped_rules_feed_filter_allowed(spark):
+    """The grouped table is a drop-in rules source for Disallow admission."""
+    from azure_blob_crawler_spark.functions.robots import robots_rules_grouped
+
+    raw = spark.createDataFrame(
+        [("a.com", ROBOTS_GROUPED)], "host string, robots_txt string"
+    )
+    rules = robots_rules_grouped(raw)
+    frontier = spark.createDataFrame(
+        [
+            (1, "a.com", "https://a.com/private/x"),
+            (2, "a.com", "https://a.com/ok"),
+            (3, "a.com", "https://a.com/tmp/y"),
+        ],
+        "id long, host string, url string",
+    )
+    kept = sorted(r["id"] for r in filter_allowed(frontier, rules).collect())
+    assert kept == [2]
