@@ -25,6 +25,7 @@ from azure_blob_crawler_spark import config
 from azure_blob_crawler_spark.functions.embedding import embed_query
 from azure_blob_crawler_spark.functions.text import TOKEN_PATTERN
 from azure_blob_crawler_spark.functions.vectors import cosine
+from azure_blob_crawler_spark.operators.sequence import assign_global_seq
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -189,9 +190,17 @@ def hybrid_search(
         F.round(F.col("score"), rank_rounding) if rank_rounding is not None
         else F.col("score")
     )
-    w_t = Window.orderBy(rank_key.desc(), F.asc(id_col))
-    tr = t.select(id_col, F.row_number().over(w_t).alias("rank_text"))
-    vr = v.select(id_col, F.row_number().over(w_t).alias("rank_vec"))
+    # global leg ranks via the two-phase sequence operator: the pool=None
+    # (full-corpus, oracle-determinism) configuration no longer funnels the
+    # whole corpus through one window task; pooled legs keep the bounded
+    # single-task sort
+    order = [rank_key.desc(), F.asc(id_col)]
+    tr = assign_global_seq(t, order, "rank_text", bounded_rows=pool).select(
+        id_col, "rank_text"
+    )
+    vr = assign_global_seq(v, order, "rank_vec", bounded_rows=pool).select(
+        id_col, "rank_vec"
+    )
     fused = (
         tr.join(vr, id_col, "full_outer")
         .withColumn(

@@ -36,6 +36,7 @@ def assign_global_seq(
     out_col: str,
     start: int = 1,
     bounded_rows: int | None = None,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` = start, start+1, ... in the total order of
     ``order_cols`` (which must be a total order — include a tiebreaker).
@@ -47,9 +48,14 @@ def assign_global_seq(
     whole-table single-task sort can slip through because the caller had
     to PROVE the bound to get this path.
 
-    Otherwise materializes ``df`` once via an eager localCheckpoint (both
-    the count pass and the numbering pass read it; no long-lived cache
-    entry is left behind)."""
+    ``input_materialized``: set True when ``df`` is already persisted or
+    checkpointed. Otherwise the two-phase path materializes it first —
+    range partitioning SAMPLES its input before shuffling, so an
+    unmaterialized expensive lineage would be evaluated twice.
+
+    The two-phase path materializes via eager localCheckpoints (read by
+    the sampling, count, and numbering passes; no long-lived cache entry
+    is left behind)."""
     if bounded_rows is not None and bounded_rows <= SMALL_INPUT_ROWS:
         # a single-task window IS the right plan here — the caller proved
         # the bound, so this is a small TakeOrdered-style sort, not an
@@ -59,6 +65,8 @@ def assign_global_seq(
         return df.withColumn(
             out_col, (F.lit(start - 1) + F.row_number().over(w)).cast("long")
         )
+    if not input_materialized:
+        df = df.localCheckpoint(eager=True)
     ranged = df.repartitionByRange(*order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )

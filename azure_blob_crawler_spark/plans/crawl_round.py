@@ -308,6 +308,7 @@ class CrawlRunner:
             "discovery_seq",
             start=next_seq,
             bounded_rows=n_new,
+            input_materialized=True,  # fresh is persisted above
         ).select(
             "url_hash", "url", "host", "depth", "discovery_seq",
             F.lit("pending").alias("state"), F.lit(0).alias("attempts"),
