@@ -176,3 +176,62 @@ def test_robots_text_roundtrip(prefixes, delay):
     if delay is not None:
         assert float(got_delay.group(1)) == delay
     assert _re.findall(_DISALLOW_RX, txt) == prefixes
+
+
+agent_tokens = st.from_regex(r"[a-z][a-z0-9-]{0,8}", fullmatch=True)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(agent_tokens, min_size=1, max_size=3, unique=True),
+            st.one_of(st.none(), st.floats(0.1, 99, allow_nan=False).map(lambda f: round(f, 1))),
+            st.lists(st.from_regex(r"/[a-z0-9/]{0,10}", fullmatch=True), max_size=4),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.booleans(),
+)
+def test_grouped_robots_roundtrip(groups, add_star):
+    """Rendered multi-group robots.txt parses back to the RIGHT group for an
+    agent that appears in exactly one group; agents in no group resolve to
+    the '*' group iff one exists."""
+    from azure_blob_crawler_spark.functions.robots import parse_robots_grouped_py
+
+    lines = []
+    for agents, delay, prefixes in groups:
+        for a in agents:
+            lines.append(f"User-agent: {a}")
+        if delay is not None:
+            lines.append(f"Crawl-delay: {delay}")
+        for p in prefixes:
+            lines.append(f"Disallow: {p}")
+        if delay is None and not prefixes:
+            lines.append("Allow: /")  # close the agent run like real files do
+        lines.append("")
+    star_delay, star_dis = 77.0, ["/starred"]
+    if add_star:
+        lines += ["User-agent: *", f"Crawl-delay: {star_delay}",
+                  f"Disallow: {star_dis[0]}", ""]
+    txt = "\n".join(lines)
+
+    # an agent token appearing in exactly one group resolves to that group
+    # (unless a token from another group is a substring of it — longest-
+    # match semantics make that the expected winner, so skip those)
+    all_tokens = [a for agents, _, _ in groups for a in agents]
+    for agents, delay, prefixes in groups:
+        for a in agents:
+            if all_tokens.count(a) != 1:
+                continue
+            if any(t != a and t in a for t in all_tokens):
+                continue
+            got = parse_robots_grouped_py(txt, a)
+            assert got == (delay, prefixes), (a, txt)
+
+    # unknown agent: '*' group iff present
+    unknown = "zz-unmatched-agent-9"
+    if not any(t in unknown for t in all_tokens):
+        got = parse_robots_grouped_py(txt, unknown)
+        assert got == ((star_delay, star_dis) if add_star else (None, []))
