@@ -104,7 +104,15 @@ def stream_unseen_urls(
     state memory is bounded and probes/inserts are vectorized numpy. The
     checkpoint persists the filter blobs, making first-seen semantics hold
     across separate ``availableNow`` drains — the streaming twin of the
-    batch crawl's cuckoo-prefiltered frontier dedup."""
+    batch crawl's cuckoo-prefiltered frontier dedup.
+
+    Scale note: state chains grow by appending same-geometry sub-filters
+    and (unlike the batch path's ``rebuild_overgrown_shards``) cannot be
+    geometry-rebuilt in place, because GroupState holds only fingerprints,
+    not keys. Size ``shard_capacity``/``n_buckets`` for the expected
+    stream volume (config.seen_buckets_for); a long-lived deployment that
+    outgrows them should drain, rebuild the seen-set from the frontier
+    table via the batch path, and restart from a fresh checkpoint."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
