@@ -293,11 +293,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_topk_orders"] = q_topk_orders
 
     def q_filter_project(spark, d):
-        return (
+        """Filter+projection with pushdown, sequenced by the distributed
+        global-numbering operator (operators/sequence.py) — value-checks
+        assign_global_seq against SQL row_number() in DuckDB."""
+        from azure_blob_crawler_spark.operators.sequence import assign_global_seq
+
+        base = (
             T(spark, d, "part")
             .filter((F.col("p_size").between(10, 30)) & (F.col("p_type") == "ECONOMY"))
             .select("p_partkey", "p_name", "p_retailprice")
         )
+        return assign_global_seq(base, ["p_partkey"], "seq")
 
     q["q_filter_project"] = q_filter_project
 
@@ -1185,7 +1191,8 @@ def oracle_sql() -> dict[str, str]:
             limit 10
         """,
         "q_filter_project": """
-            select p_partkey, p_name, p_retailprice
+            select p_partkey, p_name, p_retailprice,
+                   row_number() over (order by p_partkey) as seq
             from part
             where p_size between 10 and 30 and p_type = 'ECONOMY'
         """,
