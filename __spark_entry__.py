@@ -621,11 +621,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_chunk_stats"] = q_chunk_stats
 
-    def q_minhash_dedup(spark, d):  # rows-only: xxhash64 minhash (recall is
-        # oracle-checked by q_minhash_recall; this exercises the full
-        # drop-near-dups operator surface)
-        t = T(spark, d, "documents")
-        return DD.minhash_dedup(t, "text", "doc_id", threshold=0.4).select(
+    def q_minhash_dedup(spark, d):
+        """FULL minhash near-dup drop, value-oracled: the md5 dialect-paired
+        hasher tier lets DuckDB reproduce signatures → identical-signature
+        collapse → banded candidates → est-Jaccard losers → anti-join,
+        value-for-value (minhash_dedup_sql). The xxhash64 production tier's
+        recall is separately oracled by q_minhash_recall."""
+        t = T(spark, d, "documents").filter(F.col("doc_id") < 800)
+        return DD.minhash_dedup(t, "text", "doc_id", threshold=0.4, hasher="md5").select(
             "doc_id", "lang", "n_chars"
         )
 
@@ -1056,7 +1059,10 @@ def _bm25_sql_ctes(terms: list[str]) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from azure_blob_crawler_spark.operators.dedup import simhash_native_sql
+    from azure_blob_crawler_spark.operators.dedup import (
+        minhash_dedup_sql,
+        simhash_native_sql,
+    )
     from azure_blob_crawler_spark.operators.ingest import workitem_parse_sql
 
     tok = TXT.token_count_sql("text")
@@ -1414,6 +1420,10 @@ def oracle_sql() -> dict[str, str]:
                         then 1 end as n_chunks_fastpath
             from documents
         """,
+        "q_minhash_dedup": minhash_dedup_sql(
+            "(select * from documents where doc_id < 800)",
+            threshold=0.4,
+        ),
         "q_minhash_recall": """
             with w as (
                 select doc_id,

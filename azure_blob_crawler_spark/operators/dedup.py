@@ -82,6 +82,109 @@ def minhash_signatures(
     return with_sh.select("id", sig.alias("sig"))
 
 
+def minhash_signatures_native(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 64, shingle_k: int = 5
+) -> DataFrame:
+    """Dialect-paired minhash signatures: h_i(s) = first 32 bits of
+    md5(i || '|' || s), sig[i] = min over shingles.
+
+    md5 is bit-identical across engines (xxhash64 exists only in Spark), and
+    32-bit values keep the hex→bigint cast ANSI-safe in both. The 32-bit min
+    has slightly higher collision bias than the 64-bit production hasher —
+    this variant is the ORACLE tier (``minhash_sigs_sql`` is its DuckDB
+    twin); ``minhash_signatures`` stays the production default."""
+
+    def hasher(seed: int):
+        return lambda s: F.conv(
+            F.substring(F.md5(F.encode(F.concat(F.lit(f"{seed}|"), s), "UTF-8")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    with_sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("__sh")
+    )
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("__sh"), hasher(i))) for i in range(n_hashes)]
+    )
+    return with_sh.select("id", sig.alias("sig"))
+
+
+def minhash_sigs_sql(
+    expr: str, id_expr: str, from_clause: str, n_hashes: int = 64, shingle_k: int = 5
+) -> str:
+    """DuckDB twin of ``minhash_signatures_native``: SELECT (id, sig) over
+    ``from_clause``."""
+    k = shingle_k
+    words = f"regexp_split_to_array(lower(trim({expr})), '\\s+')"
+    sh = (
+        f"case when len(w) < {k} then [array_to_string(w, ' ')] "
+        f"else list_transform(range(1, len(w) - {k} + 2), "
+        f"i -> array_to_string(w[i:i+{k - 1}], ' ')) end"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}|' || s), 1, 8))::bigint))"
+        for i in range(n_hashes)
+    )
+    return (
+        f"select id, [{mins}] as sig from ("
+        f"select id, {sh} as sh from ("
+        f"select {id_expr} as id, {words} as w from {from_clause}))"
+    )
+
+
+def minhash_dedup_sql(
+    from_clause: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    out_cols: str = "doc_id, lang, n_chars",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of the FULL ``minhash_dedup(hasher='md5')`` semantics:
+    md5 signatures → identical-signature collapse (min id survives) → banded
+    candidates over the representatives → estimated-Jaccard ≥ threshold
+    losers → anti-join. The band join keys on the band's value string where
+    Spark keys on xxhash64 of it — identical semantics modulo a 64-bit hash
+    collision."""
+    rpb = n_hashes // n_bands
+    sigs = minhash_sigs_sql(text_expr, id_expr, from_clause, n_hashes, shingle_k)
+    bands = ", ".join(
+        f"({b}, array_to_string(sig[{b * rpb + 1}:{b * rpb + rpb}], ','))"
+        for b in range(n_bands)
+    )
+    return f"""
+        with sigs as ({sigs}),
+        classed as (
+            select id, sig,
+                   row_number() over (partition by array_to_string(sig, ',')
+                                      order by id) as rn
+            from sigs
+        ),
+        exact_losers as (select id from classed where rn > 1),
+        reps as (select id, sig from classed where rn = 1),
+        banded as (
+            select id, sig, bk from reps,
+                 unnest([{bands}]) as t(bk)
+        ),
+        cand as (
+            select distinct a.id as id_a, b.id as id_b, a.sig as sa, b.sig as sb
+            from banded a join banded b
+              on a.bk = b.bk and a.id < b.id
+        ),
+        lsh_losers as (
+            select id_b as id from cand
+            where len(list_filter(range(1, {n_hashes} + 1), i -> sa[i] = sb[i]))
+                  / {float(n_hashes)} >= {threshold}
+        ),
+        losers as (select id from exact_losers union select id from lsh_losers)
+        select {out_cols} from {from_clause}
+        where {id_expr} not in (select id from losers)
+    """
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame, n_bands: int = 16, n_hashes: int = 64, verify_threshold: float = 0.5
 ) -> DataFrame:
@@ -145,6 +248,7 @@ def minhash_dedup(
     n_bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Drop near-duplicates: every doc that pairs (above threshold) with a
     lower-id doc is removed (greedy union toward the minimum id).
@@ -160,8 +264,15 @@ def minhash_dedup(
 
     Persist discipline: signatures are cached for the passes inside
     ``minhash_lsh_pairs`` and released once the (much smaller) loser set is
-    materialized — no executor-storage leak across repeated calls."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).persist()
+    materialized — no executor-storage leak across repeated calls.
+
+    ``hasher``: 'xxhash64' (production, 64-bit) or 'md5' (dialect-paired
+    32-bit tier whose full dedup semantics the DuckDB oracle
+    ``minhash_dedup_sql`` reproduces value-for-value)."""
+    if hasher not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hasher: {hasher}")
+    sigfn = minhash_signatures_native if hasher == "md5" else minhash_signatures
+    sigs = sigfn(df, text_col, id_col, n_hashes, shingle_k).persist()
     try:
         # collapse window keyed by (hash(sig), sig): the 64-bit hash
         # short-circuits nearly every comparator call (the full-array key

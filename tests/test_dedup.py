@@ -178,3 +178,43 @@ def test_text_functions(spark):
     df2 = spark.createDataFrame([("the CAT and  the dog sat.  it was good! was IT?",)], ["text"])
     fp2 = df2.select(TXT.fingerprint(F.col("text")).alias("fp")).collect()[0]["fp"]
     assert fp2 == row["fp"]
+
+
+def test_minhash_md5_tier_matches_duckdb(spark):
+    """The md5 hasher tier is bit-identical to its DuckDB twin: signatures
+    AND the full dedup survivor set (the q_minhash_dedup oracle contract)."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(i, t) for i, t in enumerate([
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "the quick brown fox jumps over the lazy dog again and again tomorrow",
+        "completely different content about spark shuffle partitions merge",
+        "short",
+        "",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    sp_sigs = {r["id"]: list(r["sig"]) for r in
+               DD.minhash_signatures_native(df, "text", "doc_id", 16, 5).collect()}
+    du_sigs = {r[0]: list(r[1]) for r in
+               con.sql(DD.minhash_sigs_sql("text", "doc_id", "docs", 16, 5)).fetchall()}
+    assert sp_sigs == du_sigs
+
+    kept = sorted(r["doc_id"] for r in
+                  DD.minhash_dedup(df, "text", "doc_id", threshold=0.4, hasher="md5").collect())
+    want = sorted(r[0] for r in con.sql(DD.minhash_dedup_sql(
+        "docs", out_cols="doc_id", threshold=0.4)).fetchall())
+    assert kept == want
+    assert 1 not in kept  # the exact dup collapsed to id 0
+
+
+def test_minhash_bad_hasher_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        DD.minhash_dedup(df, "text", "doc_id", hasher="bogus")
