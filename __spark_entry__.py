@@ -731,11 +731,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_hybrid_search"] = q_hybrid_search
 
-    def q_ivf_topk(spark, d):  # rows-only: centroids are data-driven
-        # (numpy k-means on a sample), so no SQL twin exists; recall vs
-        # brute force is pinned by tests/test_similarity_multimodal.py
+    def q_ivf_topk(spark, d):
+        """IVF assign → probe-cell selection → in-cell exact top-k, fully
+        value-oracled: centroids are the (normalized) vectors of the eight
+        lowest vec_ids, which DuckDB reproduces directly — cosine is
+        scale-invariant, so the oracle skips the normalization and the
+        argmax assignment/top-3-cell choice still agree (ties break to the
+        lowest centroid id in both: numpy argmax keeps the first max). The
+        k-means-trained tier stays pinned by the recall tests and the
+        all-cells q_ivf_allprobe oracle."""
+        import numpy as np
+
         emb = T(spark, d, "embeddings")
-        cents = SIM.train_centroids(emb, n_cells=8, sample=512)
+        cent_rows = (
+            emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+        )
+        cents = np.array([r[0] for r in cent_rows], dtype=np.float64)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-9)
         qv = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
         with_cells = SIM.assign_cells(emb, cents)
         return SIM.ivf_topk(with_cells, cents, [float(x) for x in qv], k=10, n_probe=3).select(
@@ -1541,6 +1553,40 @@ def oracle_sql() -> dict[str, str]:
                    1.0::double as score
             from documents
             where lang = 'en' and n_chars > 500
+        """,
+        "q_ivf_topk": f"""
+            with cent as (
+                select vec_id as cid, embedding as cvec
+                from embeddings where vec_id < 8
+            ),
+            qv as (select embedding as q from embeddings where vec_id = 1),
+            assign as (
+                select e.vec_id, c.cid,
+                       row_number() over (
+                           partition by e.vec_id
+                           order by {cosine_sql('e.embedding', 'c.cvec')} desc, c.cid asc
+                       ) as rn
+                from embeddings e cross join cent c
+            ),
+            cells as (
+                select cid from (
+                    select c.cid,
+                           row_number() over (
+                               order by {cosine_sql('c.cvec', 'q')} desc, c.cid asc
+                           ) as rn
+                    from cent c, qv
+                ) where rn <= 3
+            ),
+            probed as (
+                select e.vec_id, e.embedding
+                from embeddings e
+                join assign a on a.vec_id = e.vec_id and a.rn = 1
+                where a.cid in (select cid from cells)
+            )
+            select vec_id, round({cosine_sql('embedding', 'q')}, 6) as score
+            from probed, qv
+            order by {cosine_sql('embedding', 'q')} desc, vec_id asc
+            limit 10
         """,
         "q_ivf_allprobe": f"""
             with qv as (select embedding as q from embeddings where vec_id = 2)
