@@ -508,11 +508,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_quality_lang"] = q_quality_lang
 
     def q_fingerprint_dedup(spark, d):
+        """Both fingerprint tiers in one row-per-doc result: md5 exact-dup
+        class stats (count + representative via windows over fp) AND the
+        winnowing rolling-hash print set (count/min/max of the selected
+        minima) — dialect-paired with winnow_sql."""
         t = T(spark, d, "documents")
-        return (
-            t.withColumn("fp", TXT.fingerprint(F.col("text")))
-            .groupBy("fp")
-            .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("rep_doc"))
+        prints = TXT.winnow_fingerprints(F.col("text"))
+        base = t.select(
+            "doc_id",
+            TXT.fingerprint(F.col("text")).alias("fp"),
+            F.size(prints).alias("n_prints"),
+            F.array_min(prints).alias("min_print"),
+            F.array_max(prints).alias("max_print"),
+        )
+        wfp = Window.partitionBy("fp")
+        return base.withColumn("n_docs", F.count("*").over(wfp)).withColumn(
+            "rep_doc", F.min("doc_id").over(wfp)
         )
 
     q["q_fingerprint_dedup"] = q_fingerprint_dedup
@@ -1306,10 +1317,19 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "q_fingerprint_dedup": f"""
-            select {TXT.fingerprint_sql("text")} as fp,
-                   count(*) as n_docs, min(doc_id) as rep_doc
-            from documents
-            group by 1
+            with base as (
+                select doc_id,
+                       {TXT.fingerprint_sql("text")} as fp,
+                       {TXT.winnow_sql("text")} as prints
+                from documents
+            )
+            select doc_id, fp,
+                   len(prints) as n_prints,
+                   list_min(prints) as min_print,
+                   list_max(prints) as max_print,
+                   cast(count(*) over (partition by fp) as bigint) as n_docs,
+                   min(doc_id) over (partition by fp) as rep_doc
+            from base
         """,
         "q_text_match": """
             select doc_id,

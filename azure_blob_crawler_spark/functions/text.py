@@ -138,3 +138,68 @@ def fingerprint(text: Column) -> Column:
 
 def fingerprint_sql(expr: str) -> str:
     return f"md5(regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g'))"
+
+
+def _h32(s: Column) -> Column:
+    """32-bit rolling-gram hash: first 8 md5 hex chars as a long (md5 is
+    bit-identical across engines; 32 bits keeps the cast ANSI-safe)."""
+    return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8), 16, 10).cast("long")
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    local fingerprinting algorithm): hash every k-char gram, slide a
+    w-gram window, keep each window's minimum hash; the sorted distinct
+    minima are a position-robust fingerprint SET — shared substrings of
+    length ≥ k + w - 1 are guaranteed to share a selected print.
+
+    Catalyst-native (transform/slice/array_min over char grams), with
+    ``winnow_sql`` as the DuckDB twin. Degenerate inputs: text shorter
+    than one gram hashes whole; fewer grams than a window yields the
+    single global minimum.
+
+    The gram array is LET-BOUND via a one-element-array transform before
+    the window pass — referenced as a plain subexpression it would be
+    re-inlined into every window's slice and the per-row cost goes
+    O(grams²) in md5 calls (measured 280 s for 500 docs at sf0.01; the
+    bound form runs in seconds). The same binding trick (lambda variables
+    evaluate once) is applied on the DuckDB side."""
+    t = F.lower(text)
+    n = F.length(t)
+    m = F.greatest(n - F.lit(k - 1), F.lit(1))  # ≥1: short text → one gram
+    grams = F.transform(
+        F.sequence(F.lit(1), m), lambda i: _h32(F.substr(t, i, F.lit(k)))
+    )
+
+    def prints(g):
+        mwin = F.size(g) - F.lit(w - 1)
+        wins = F.when(mwin < 1, F.array(F.array_min(g))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(mwin, F.lit(1))),
+                lambda j: F.array_min(F.slice(g, j, w)),
+            )
+        )
+        return F.array_sort(F.array_distinct(wins))
+
+    return F.element_at(F.transform(F.array(grams), prints), 1)
+
+
+def winnow_sql(expr: str, k: int = 8, w: int = 4) -> str:
+    """DuckDB twin of ``winnow_fingerprints`` (same let-binding shape)."""
+    t = f"lower({expr})"
+
+    def h(s: str) -> str:
+        return f"('0x' || substr(md5({s}), 1, 8))::bigint"
+
+    grams = (
+        f"list_transform(range(1, greatest(length({t}) - {k} + 1, 1) + 1), "
+        f"i -> {h(f'substr({t}, i, {k})')})"
+    )
+    wins = (
+        f"case when len(g) - {w - 1} < 1 then [list_min(g)] "
+        f"else list_transform(range(1, len(g) - {w} + 2), "
+        f"j -> list_min(g[j:j+{w - 1}])) end"
+    )
+    return (
+        f"(list_transform([{grams}], g -> list_sort(list_distinct({wins}))))[1]"
+    )

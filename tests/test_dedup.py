@@ -218,3 +218,39 @@ def test_minhash_bad_hasher_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         DD.minhash_dedup(df, "text", "doc_id", hasher="bogus")
+
+
+def test_winnow_fingerprints_parity_and_guarantee(spark):
+    """Winnowing prints: Spark↔DuckDB bit parity on edge shapes, identical
+    docs share the full set, and the MOSS guarantee holds — two docs
+    sharing a substring of length ≥ k + w - 1 share at least one print."""
+    import duckdb
+    import pandas as pd
+
+    shared = "a noticeably long shared passage of text"  # ≥ k + w - 1 chars
+    rows = [
+        (0, f"prefix one {shared} suffix alpha"),
+        (1, f"{shared} entirely different ending here"),
+        (2, "tiny"),
+        (3, ""),
+        (4, f"prefix one {shared} suffix alpha"),  # exact dup of 0
+        (5, "no overlap with anything else at all zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sp = {
+        r["doc_id"]: list(r["w"])
+        for r in df.select(
+            "doc_id", TXT.winnow_fingerprints(F.col("text")).alias("w")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    du = {
+        r[0]: list(r[1])
+        for r in con.sql(f"select doc_id, {TXT.winnow_sql('text')} as w from t").fetchall()
+    }
+    assert sp == du
+    assert sp[0] == sp[4]  # identical docs, identical print set
+    assert set(sp[0]) & set(sp[1])  # shared long substring ⇒ shared print
+    assert not (set(sp[0]) & set(sp[5]))  # unrelated docs don't collide
+    assert len(sp[2]) == 1 and len(sp[3]) == 1  # degenerate inputs
