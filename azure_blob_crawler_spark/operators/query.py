@@ -195,12 +195,15 @@ def hybrid_search(
     # whole corpus through one window task; pooled legs keep the bounded
     # single-task sort
     order = [rank_key.desc(), F.asc(id_col)]
-    tr = assign_global_seq(t, order, "rank_text", bounded_rows=pool).select(
-        id_col, "rank_text"
-    )
-    vr = assign_global_seq(v, order, "rank_vec", bounded_rows=pool).select(
-        id_col, "rank_vec"
-    )
+    # rank over the (id, score) projection only — the two-phase path
+    # materializes its input, and the corpus text columns have no business
+    # in that checkpoint
+    tr = assign_global_seq(
+        t.select(id_col, "score"), order, "rank_text", bounded_rows=pool
+    ).select(id_col, "rank_text")
+    vr = assign_global_seq(
+        v.select(id_col, "score"), order, "rank_vec", bounded_rows=pool
+    ).select(id_col, "rank_vec")
     fused = (
         tr.join(vr, id_col, "full_outer")
         .withColumn(
