@@ -56,3 +56,36 @@ def test_parallel_numbering_no_single_partition_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "__pid" in line, line
+
+
+def test_claim_round_two_phase_matches_plain_window(spark):
+    """claim_round with round_size above the bounded threshold takes the
+    two-phase rank path; claim_rank must equal the single-window rank."""
+    from pyspark.sql import Window
+
+    from azure_blob_crawler_spark.operators import sequence as SEQ
+    from azure_blob_crawler_spark.operators.scheduler import _priority, claim_round
+
+    n = SEQ.SMALL_INPUT_ROWS + 5000
+    frontier = spark.range(n).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".ex.com/p"), F.col("id")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 50).cast("string"), F.lit(".ex.com")).alias("host"),
+        F.col("id").alias("url_hash"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.col("id").alias("discovery_seq"),
+        F.lit("pending").alias("state"),
+        F.lit(0).cast("int").alias("attempts"),
+    )
+    robots = spark.createDataFrame([("h0.ex.com", 0.001)], "host string, crawl_delay_s double")
+    claimed = claim_round(frontier, robots, round_size=n, round_seconds=1000.0)
+    got = {r["url_hash"]: r["claim_rank"] for r in claimed.collect()}
+    # plain single-window reference over the same eligible set
+    ref_rows = claim_round(frontier, robots, round_size=n, round_seconds=1000.0) \
+        .drop("claim_rank")
+    w = Window.orderBy(*_priority())
+    want = {
+        r["url_hash"]: r["rk"]
+        for r in ref_rows.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want
