@@ -1008,15 +1008,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_link_resolve"] = q_link_resolve
 
     def q_robots_disallow(spark, d):
-        """Disallow-prefix admission over a documents-derived frontier: rows
-        whose path falls under a host's Disallow prefix are dropped."""
+        """Disallow/Allow admission over a documents-derived frontier with
+        RFC-9309 longest-match precedence: even hosts block /private but
+        carve out Allow /private/press (so %4==2 paths survive on them);
+        host h3 blocks /private and /tmp with no carve-out."""
         from azure_blob_crawler_spark.functions.robots import filter_allowed
 
         docs = T(spark, d, "documents")
+        sid = F.col("doc_id").cast("string")
         path = (
-            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/private/doc"), F.col("doc_id").cast("string")))
-            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/tmp/doc"), F.col("doc_id").cast("string")))
-            .otherwise(F.concat(F.lit("/public/doc"), F.col("doc_id").cast("string")))
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/private/doc"), sid))
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/tmp/doc"), sid))
+            .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/private/press/doc"), sid))
+            .otherwise(F.concat(F.lit("/public/doc"), sid))
         )
         host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"), F.lit(".example.com"))
         frontier = docs.select(
@@ -1024,15 +1028,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(F.lit("https://"), host, path).alias("url"),
         )
         hosts = frontier.select("host").distinct()
-        # even-numbered hosts forbid /private; host h3 also forbids /tmp
         hid = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
         rules = hosts.select(
             "host",
             F.lit(None).cast("double").alias("crawl_delay_s"),
-            F.when(hid % 2 == 0, F.array(F.lit("/private")))
-            .when(hid == 3, F.array(F.lit("/private"), F.lit("/tmp")))
+            F.when(hid == 3, F.array(F.lit("/private"), F.lit("/tmp")))
+            .when(hid % 2 == 0, F.array(F.lit("/private")))
             .otherwise(F.array().cast("array<string>"))
             .alias("disallow"),
+            F.when(hid % 2 == 0, F.array(F.lit("/private/press")))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("allow"),
         )
         return filter_allowed(frontier, rules).select("doc_id", "url")
 
@@ -1674,16 +1680,29 @@ def oracle_sql() -> dict[str, str]:
                        cast(doc_id % 10 as int) as hid,
                        case when doc_id % 4 = 0 then '/private/doc' || cast(doc_id as varchar)
                             when doc_id % 4 = 1 then '/tmp/doc' || cast(doc_id as varchar)
+                            when doc_id % 4 = 2 then '/private/press/doc' || cast(doc_id as varchar)
                             else '/public/doc' || cast(doc_id as varchar) end as path
                 from documents
+            ),
+            scored as (
+                -- longest-match lengths: Disallow vs Allow (RFC 9309 §2.2.2;
+                -- ties resolve to allow, i.e. drop only when dis_len > alw_len)
+                select doc_id, hid, path,
+                       case when hid = 3 then greatest(
+                                case when starts_with(path, '/private') then 8 else 0 end,
+                                case when starts_with(path, '/tmp') then 4 else 0 end)
+                            when hid % 2 = 0 then
+                                case when starts_with(path, '/private') then 8 else 0 end
+                            else 0 end as dis_len,
+                       case when hid % 2 = 0 and hid <> 3
+                                 and starts_with(path, '/private/press') then 14
+                            else 0 end as alw_len
+                from f
             )
             select doc_id,
                    'https://h' || cast(hid as varchar) || '.example.com' || path as url
-            from f
-            where not (
-                (hid % 2 = 0 and starts_with(path, '/private'))
-                or (hid = 3 and (starts_with(path, '/private') or starts_with(path, '/tmp')))
-            )
+            from scored
+            where dis_len <= alw_len
         """,
         "q_media_refs": """
             select doc_id,

@@ -45,6 +45,14 @@ MAX_TOP = 100
 GET_ALL_DOCS_CAP = 100_000
 RRF_K = 60
 
+# --- claim scheduler skew control ---
+# Per-host salt width in the claim's phase-1 window = ceil(pending / this):
+# bounds one window task's sort input regardless of host share. 1M rows ≈
+# 100 MB of frontier columns per task — comfortable executor working set;
+# hosts below the target get width 1 (no extra salt partitions, and the
+# hot-host broadcast stays ∝ skewed hosts only).
+CLAIM_SALT_TARGET_ROWS = 1_000_000
+
 # --- seen-set sizing ---
 # Store buckets for seen/frontier tables. 64 fits tests/bench; at scale the
 # bucket count MUST grow with the table (one bucket = one task's working set

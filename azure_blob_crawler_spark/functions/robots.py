@@ -26,19 +26,25 @@ from pyspark.sql import functions as F
 
 _DELAY_RX = r"(?i)crawl-delay:\s*([0-9]+\.?[0-9]*)"
 _DISALLOW_RX = r"(?i)disallow:\s*(/\S*)"
+# multiline-anchored so the 'allow:' tail of every 'Disallow:' line does not
+# match — only lines whose first field is Allow
+_ALLOW_RX = r"(?im)^\s*allow:\s*(/\S*)"
 
 
 def robots_rules(df: DataFrame, host_col: str = "host", text_col: str = "robots_txt") -> DataFrame:
-    """(host, crawl_delay_s, disallow) from raw robots.txt text.
+    """(host, crawl_delay_s, disallow, allow) from raw robots.txt text.
 
     ``crawl_delay_s`` is the first Crawl-delay directive (null when absent →
-    scheduler default applies); ``disallow`` is every Disallow path prefix.
-    Fully Catalyst-native (regexp extraction, codegen'd)."""
+    scheduler default applies); ``disallow``/``allow`` are every Disallow /
+    Allow path prefix (RFC 9309 longest-match precedence between them is
+    applied at admission time by ``is_disallowed``). Fully Catalyst-native
+    (regexp extraction, codegen'd)."""
     delay_str = F.regexp_extract(F.col(text_col), _DELAY_RX, 1)
     return df.select(
         F.col(host_col).alias("host"),
         F.when(delay_str != "", delay_str.cast("double")).alias("crawl_delay_s"),
         F.regexp_extract_all(F.col(text_col), F.lit(_DISALLOW_RX), 1).alias("disallow"),
+        F.regexp_extract_all(F.col(text_col), F.lit(_ALLOW_RX), 1).alias("allow"),
     )
 
 
@@ -49,6 +55,7 @@ def robots_rules_sql(host_expr: str, text_expr: str) -> dict[str, str]:
         "host": host_expr,
         "crawl_delay_s": f"case when {delay} <> '' then {delay}::double end",
         "disallow": f"regexp_extract_all({text_expr}, '(?i)disallow:\\s*(/\\S*)', 1)",
+        "allow": f"regexp_extract_all({text_expr}, '(?im)^\\s*allow:\\s*(/\\S*)', 1)",
     }
 
 
@@ -57,16 +64,18 @@ ENGINE_AGENT = "sparkcrawler"
 
 def parse_robots_grouped_py(
     text: str, agent: str = ENGINE_AGENT
-) -> tuple[float | None, list[str]]:
-    """Group-resolved (crawl_delay_s, disallow_prefixes) for ``agent``.
+) -> tuple[float | None, list[str], list[str]]:
+    """Group-resolved (crawl_delay_s, disallow_prefixes, allow_prefixes)
+    for ``agent``.
 
     RFC 9309 shape: consecutive ``User-agent:`` lines share one group; a
     directive line closes the agent run. The applicable group is the one
-    whose agent token is the longest case-insensitive substring of our
-    agent; ``*`` applies only when no specific group matches. Unknown
-    fields (Sitemap:, Allow:) close agent runs but are otherwise ignored;
-    Disallow values not starting with '/' (including the empty
-    allow-everything form) add no prefix."""
+    whose agent token is the longest case-insensitive PREFIX of our product
+    token (RFC 9309 §2.2.1 — substring containment would let an unrelated
+    short token like 'ark' capture 'sparkcrawler'); ``*`` applies only when
+    no specific group matches. Unknown fields (Sitemap:) close agent runs
+    but are otherwise ignored; Disallow/Allow values not starting with '/'
+    (including the empty allow-everything form) add no prefix."""
     groups: list[dict] = []
     cur: dict | None = None
     for raw in (text or "").splitlines():
@@ -77,7 +86,7 @@ def parse_robots_grouped_py(
         field, value = field.strip().lower(), value.strip()
         if field == "user-agent":
             if cur is None or cur["closed"]:
-                cur = {"agents": [], "delay": None, "dis": [], "closed": False}
+                cur = {"agents": [], "delay": None, "dis": [], "alw": [], "closed": False}
                 groups.append(cur)
             cur["agents"].append(value.lower())
         elif cur is not None:
@@ -85,6 +94,9 @@ def parse_robots_grouped_py(
             if field == "disallow":
                 if value.startswith("/"):
                     cur["dis"].append(value)
+            elif field == "allow":
+                if value.startswith("/"):
+                    cur["alw"].append(value)
             elif field == "crawl-delay":
                 try:
                     cur["delay"] = float(value)
@@ -97,11 +109,11 @@ def parse_robots_grouped_py(
             if a == "*":
                 if best_len < 0:
                     best, best_len = g, 0
-            elif a and a in agent_l and len(a) > best_len:
+            elif a and agent_l.startswith(a) and len(a) > best_len:
                 best, best_len = g, len(a)
     if best is None:
-        return (None, [])
-    return (best["delay"], list(best["dis"]))
+        return (None, [], [])
+    return (best["delay"], list(best["dis"]), list(best["alw"]))
 
 
 def robots_rules_grouped(
@@ -118,16 +130,20 @@ def robots_rules_grouped(
     as one Arrow-batched pandas UDF call per batch (no per-row Python
     round trips)."""
 
-    @F.pandas_udf("crawl_delay_s double, disallow array<string>")
+    @F.pandas_udf("crawl_delay_s double, disallow array<string>, allow array<string>")
     def parse(texts: pd.Series) -> pd.DataFrame:
         rows = [parse_robots_grouped_py(t, agent) for t in texts.fillna("")]
         return pd.DataFrame(
-            {"crawl_delay_s": [r[0] for r in rows], "disallow": [r[1] for r in rows]}
+            {
+                "crawl_delay_s": [r[0] for r in rows],
+                "disallow": [r[1] for r in rows],
+                "allow": [r[2] for r in rows],
+            }
         )
 
     return df.select(
         F.col(host_col).alias("host"), parse(F.col(text_col)).alias("__r")
-    ).select("host", "__r.crawl_delay_s", "__r.disallow")
+    ).select("host", "__r.crawl_delay_s", "__r.disallow", "__r.allow")
 
 
 def url_path_of(url: Column) -> Column:
@@ -145,18 +161,57 @@ def url_path_of(url: Column) -> Column:
     return path
 
 
-def is_disallowed(url: Column, disallow: Column) -> Column:
-    """True when the URL's path starts with any Disallow prefix."""
+def _match_len(path: Column, prefixes: Column) -> Column:
+    """Length of the longest prefix in ``prefixes`` matching ``path`` (0 when
+    none match or the array is null/empty). Catalyst-native higher-order
+    filter/transform/array_max — codegen'd, no UDF."""
+    matching = F.filter(prefixes, lambda p: path.startswith(p))
+    return F.coalesce(F.array_max(F.transform(matching, F.length)), F.lit(0))
+
+
+def is_disallowed(url: Column, disallow: Column, allow: Column | None = None) -> Column:
+    """RFC 9309 longest-match admission verdict for one URL.
+
+    Without ``allow`` (legacy two-column rules): true when the URL's path
+    starts with any Disallow prefix. With ``allow``: the longest matching
+    rule of EITHER kind decides, ties resolve to allow (RFC 9309 §2.2.2) —
+    so ``Disallow: /private`` + ``Allow: /private/press`` admits
+    ``/private/press/x`` while still blocking the rest of ``/private``."""
     path = url_path_of(url)
-    return F.exists(disallow, lambda p: path.startswith(p))
+    if allow is None:
+        return F.exists(disallow, lambda p: path.startswith(p))
+    return _match_len(path, disallow) > _match_len(path, allow)
+
+
+def is_disallowed_py(url: str, disallow: list[str], allow: list[str] | None = None) -> bool:
+    """Pure-Python twin of ``is_disallowed`` (property-test parity)."""
+    rest = url.split("://", 1)[1] if "://" in url else url
+    rest = rest.split("?", 1)[0]
+    slash = rest.find("/")
+    path = rest[slash:] if slash >= 0 else "/"
+    dis_len = max((len(p) for p in (disallow or []) if path.startswith(p)), default=0)
+    alw_len = max((len(p) for p in (allow or []) if path.startswith(p)), default=0)
+    if allow is None:
+        return dis_len > 0
+    return dis_len > alw_len
 
 
 def filter_allowed(frontier: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFrame:
-    """Drop frontier rows whose path a robots Disallow prefix covers.
+    """Drop frontier rows a robots rule excludes (longest-match precedence
+    between Disallow and Allow when the rules table carries an ``allow``
+    column; plain Disallow-prefix admission otherwise).
 
     Broadcast join on host (rules are per-host and small relative to the
     frontier); rows for hosts with no rules pass through."""
-    r = F.broadcast(rules.select("host", F.col("disallow").alias("__dis")))
+    has_allow = "allow" in rules.columns
+    cols = ["host", F.col("disallow").alias("__dis")] + (
+        [F.col("allow").alias("__alw")] if has_allow else []
+    )
+    r = F.broadcast(rules.select(*cols))
     joined = frontier.join(r, "host", "left")
-    keep = F.col("__dis").isNull() | ~is_disallowed(F.col(url_col), F.col("__dis"))
-    return joined.filter(keep).drop("__dis")
+    verdict = is_disallowed(
+        F.col(url_col), F.col("__dis"), F.col("__alw") if has_allow else None
+    )
+    keep = F.col("__dis").isNull() | ~verdict
+    out = joined.filter(keep).drop("__dis")
+    return out.drop("__alw") if has_allow else out

@@ -234,7 +234,11 @@ def resolve_href(base: Column, href: Column) -> Column:
     path = F.split_part(pq, F.lit("?"), F.lit(1))
     basedir = F.regexp_replace(path, "/[^/]*$", "")
     return (
-        F.when(F.startswith(h, F.lit("#")), F.lit(None).cast("string"))
+        # empty / whitespace-only href: RFC 3986 calls this a same-document
+        # reference; as a crawl link it is self-referential noise — drop it
+        # (the fallthrough branch would fabricate a junk basedir/ URL)
+        F.when(h == "", F.lit(None).cast("string"))
+        .when(F.startswith(h, F.lit("#")), F.lit(None).cast("string"))
         .when(
             h.rlike(_SCHEME_RX),
             F.when(F.lower(h).rlike("^https?://"), h).otherwise(F.lit(None).cast("string")),
@@ -251,7 +255,7 @@ def resolve_href_py(base: str, href: str) -> str | None:
     import re
 
     h = href.strip()
-    if h.startswith("#"):
+    if not h or h.startswith("#"):
         return None
     if re.match(_SCHEME_RX, h):
         return h if re.match("^https?://", h, re.IGNORECASE) else None

@@ -18,7 +18,13 @@ Skew note (hot host = 30% of frontier in the synthetic corpus): the per-host
 ranking window is computed in two phases — a salted pre-rank
 (partitionBy(host, discovery_seq % S)) keeps at most ``budget`` rows per
 salt, bounding the exact window's input to S*budget rows per host instead of
-the host's full frontier share. AQE skew-join handles the residual.
+the host's full frontier share. The salt width S is PER-HOST, derived from
+the host's pending count (``ceil(count / salt_target_rows)``) so no phase-1
+window task ever sorts more than ~``salt_target_rows`` rows regardless of
+how large the host's frontier share grows — a fixed S would push
+(host share)/S rows through one task once a hot host reaches 10^9+ pending
+(round-3 verdict). Only over-target hosts carry a width entry (the broadcast
+is ∝ skewed hosts, not ∝ all hosts); AQE skew-join handles the residual.
 """
 
 from __future__ import annotations
@@ -28,8 +34,6 @@ from pyspark.sql import functions as F
 
 from azure_blob_crawler_spark import config
 from azure_blob_crawler_spark.operators.sequence import assign_global_seq
-
-SALT_FACTOR = 8
 
 
 def _priority():
@@ -62,6 +66,7 @@ def claim_round(
     round_size: int = config.ROUND_SIZE,
     round_seconds: float = config.ROUND_SECONDS,
     default_delay: float = config.DEFAULT_CRAWL_DELAY_S,
+    salt_target_rows: int = config.CLAIM_SALT_TARGET_ROWS,
 ) -> DataFrame:
     """The next crawl round's claim set, with ``claim_rank`` (1-based global
     priority position — the round's deterministic processing order).
@@ -69,7 +74,13 @@ def claim_round(
     When the robots table carries a ``disallow`` column (robots.txt rules
     parsed by functions/robots.py), Disallow-prefix admission is enforced
     before budgeting; a plain (host, crawl_delay_s) table behaves as
-    before."""
+    before.
+
+    The claim set is invariant to ``salt_target_rows``: phase 1 keeps each
+    salt partition's top ``budget`` rows, a superset of the host's true top
+    ``budget`` for ANY salt width ≥ 1, and phase 2 re-ranks exactly — the
+    knob only bounds phase-1 task input size (pinned by
+    tests/test_ordering.py::test_salt_width_invariance)."""
     pending = frontier.filter(F.col("state") == "pending")
     if "disallow" in robots.columns:
         from azure_blob_crawler_spark.functions.robots import filter_allowed
@@ -77,13 +88,31 @@ def claim_round(
         pending = filter_allowed(pending, robots)
     budgeted = with_budget(pending, robots, round_seconds, default_delay)
 
+    # per-host salt widths from pending counts (map-side partial agg → tiny
+    # result): only hosts over the per-task target need width > 1, so the
+    # broadcast carries just the skewed hosts
+    hot = (
+        budgeted.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("__hn"))
+        .filter(F.col("__hn") > salt_target_rows)
+        .select(
+            "host",
+            F.ceil(F.col("__hn") / F.lit(float(salt_target_rows)))
+            .cast("int")
+            .alias("__salt_w"),
+        )
+    )
+    salted = budgeted.join(F.broadcast(hot), "host", "left").withColumn(
+        "__salt_w", F.coalesce(F.col("__salt_w"), F.lit(1))
+    )
+
     # phase 1: salted pre-rank bounds per-task input under host skew
     w_salt = Window.partitionBy(
-        "host", F.pmod(F.col("discovery_seq"), F.lit(SALT_FACTOR))
+        "host", F.pmod(F.col("discovery_seq"), F.col("__salt_w"))
     ).orderBy(*_priority())
-    pre = budgeted.withColumn("__salt_rank", F.row_number().over(w_salt)).filter(
+    pre = salted.withColumn("__salt_rank", F.row_number().over(w_salt)).filter(
         F.col("__salt_rank") <= F.col("host_budget")
-    )
+    ).drop("__salt_w")
 
     # phase 2: exact per-host rank on the pruned set
     w_host = Window.partitionBy("host").orderBy(*_priority())

@@ -98,7 +98,11 @@ def ivf_topk(
     table partitioned/bucketed by cell, the scan skips every other cell."""
     q = np.asarray(query_vector, dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-9)
-    order = (centroids @ q).argsort()[::-1][:n_probe]
+    # stable sort on the negated scores: an exact cosine tie at the n_probe
+    # boundary breaks to the LOWEST centroid id, matching the q_ivf_topk
+    # DuckDB oracle's (score desc, cid asc) ordering ([::-1] on argsort
+    # reversed ties toward the highest id)
+    order = np.argsort(-(centroids @ q), kind="stable")[:n_probe]
     probed = emb_with_cells.filter(F.col("cell").isin([int(c) for c in order]))
     return brute_force_topk(probed, query_vector, k, vec_col, id_col)
 

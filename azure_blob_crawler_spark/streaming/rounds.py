@@ -58,15 +58,22 @@ def stream_ingest_links(
             )
             return
         # bucket-pruned anti-join: a micro-batch touches few buckets of a
-        # huge frontier — read only those instead of a full table scan
+        # huge frontier — read only those instead of a full table scan.
+        # The manifest version is PINNED once per micro-batch so the bucket
+        # expression and the bucket-selective read resolve against the same
+        # table snapshot (a concurrent commit between two unpinned reads
+        # would silently weaken the dedup if bucketing ever changed).
         batch = batch.localCheckpoint(eager=True)
+        ver = store.current_version(frontier_table)
         touched = [
             r["b"]
-            for r in batch.select(store.bucket_expr(frontier_table).alias("b"))
+            for r in batch.select(
+                store.bucket_expr(frontier_table, version=ver).alias("b")
+            )
             .distinct()
             .collect()
         ]
-        current = store.read_buckets(frontier_table, touched)
+        current = store.read_buckets(frontier_table, touched, version=ver)
         fresh = (
             batch.join(current.select("url_hash"), "url_hash", "left_anti")
             if current is not None

@@ -35,6 +35,52 @@ def engine_runner(spark, tmp_path_factory, sim_result):
     return runner
 
 
+def test_salt_width_invariance(spark):
+    """The claim set is identical for any salt width, and the per-host width
+    derived from pending counts bounds every phase-1 window task's input to
+    ~salt_target_rows even under 90% single-host skew."""
+    from azure_blob_crawler_spark.operators.scheduler import claim_round
+
+    n = 2000
+    rows = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot.com"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 7).cast("string"), F.lit(".com")))
+        .alias("host"),
+        F.col("id").alias("discovery_seq"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.lit("pending").alias("state"),
+        F.lit(0).alias("attempts"),
+    )
+    frontier = rows.withColumn(
+        "url",
+        F.concat(F.lit("https://"), "host", F.lit("/d"), F.col("discovery_seq").cast("string")),
+    ).withColumn("url_hash", F.xxhash64("url"))
+    robots = spark.createDataFrame([("hot.com", 0.5)], "host string, crawl_delay_s double")
+
+    target = 50
+    salted = claim_round(
+        frontier, robots, round_size=500, round_seconds=10.0, salt_target_rows=target
+    )
+    plain = claim_round(
+        frontier, robots, round_size=500, round_seconds=10.0, salt_target_rows=1 << 40
+    )
+    key = lambda df: [(r["claim_rank"], r["url"]) for r in df.orderBy("claim_rank").collect()]
+    assert key(salted) == key(plain)
+
+    # the derived width bounds every (host, salt) group below ~target rows
+    counts = frontier.groupBy("host").count().collect()
+    for r in counts:
+        w = max(1, -(-r["count"] // target))  # ceil
+        sizes = (
+            frontier.filter(F.col("host") == r["host"])
+            .groupBy(F.pmod("discovery_seq", F.lit(w)))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert sizes <= 2 * target, (r["host"], w, sizes)
+
+
 def test_python_spark_canonical_parity(spark):
     urls = [e["url"] for e in synthetic.seed_frontier_py(200)]
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
