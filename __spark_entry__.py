@@ -703,21 +703,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_embedding_near_dups"] = q_embedding_near_dups
 
     def q_bm25_search(spark, d):
-        """Full BM25 score set over the documents table — exact SQL twin in
-        DuckDB (idf/tf-norm formula inlined); no top-k so boundary ties
-        can't flip membership."""
+        """Full BM25 score set over the documents table from BOTH serving
+        tiers as a tagged union — 'scan' (one-shot corpus tokenization,
+        operators/query.bm25_scores) and 'index' (persistent postings +
+        stats tables maintained by MERGE, operators/search_index) — each
+        against the same exact SQL twin in DuckDB (idf/tf-norm formula
+        inlined, emitted twice with the tier tag); no top-k so boundary
+        ties can't flip membership."""
+        import tempfile
+
+        from azure_blob_crawler_spark.operators.search_index import TextSearchIndex
+        from azure_blob_crawler_spark.sources.store import SnapshotStore
+
         corpus = T(spark, d, "documents").select(
             F.col("doc_id").cast("string").alias("chunk_id"), F.col("text").alias("content")
         )
-        scored = Q.bm25_scores(corpus, "spark merge shuffle")
-        return scored.select("chunk_id", F.round("score", 4).alias("score"))
+        scan = Q.bm25_scores(corpus, "spark merge shuffle")
+        idx = TextSearchIndex(
+            SnapshotStore(spark, tempfile.mkdtemp(prefix="bm25idx_")),
+            n_term_buckets=8, n_doc_buckets=8,
+        )
+        idx.update(corpus)
+        indexed = idx.bm25("spark merge shuffle")
+        return scan.select(
+            F.lit("scan").alias("tier"), "chunk_id", F.round("score", 4).alias("score")
+        ).unionByName(
+            indexed.select(
+                F.lit("index").alias("tier"), "chunk_id", F.round("score", 4).alias("score")
+            )
+        )
 
     q["q_bm25_search"] = q_bm25_search
 
     def q_hybrid_search(spark, d):
-        """RRF fusion over documents (BM25 leg) + embeddings (cosine leg,
-        query = embeddings[vec_id=1]), ranks on round(score, 4) so rank
-        order is engine-independent; full SQL twin in DuckDB."""
+        """RRF fusion over documents (BM25 leg SERVED FROM the persistent
+        postings index — no corpus tokenization in the query plan) +
+        embeddings (cosine leg, query = embeddings[vec_id=1]), ranks on
+        round(score, 4) so rank order is engine-independent; full SQL twin
+        in DuckDB."""
+        import tempfile
+
+        from azure_blob_crawler_spark.operators.search_index import TextSearchIndex
+        from azure_blob_crawler_spark.sources.store import SnapshotStore
+
         docs = T(spark, d, "documents").select(
             F.col("doc_id").cast("string").alias("chunk_id"),
             F.col("text").alias("content"),
@@ -727,6 +755,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("embedding").alias("vector"),
         )
         corpus = docs.join(emb, "chunk_id")
+        idx = TextSearchIndex(
+            SnapshotStore(spark, tempfile.mkdtemp(prefix="hybidx_")),
+            n_term_buckets=8, n_doc_buckets=8,
+        )
+        idx.update(corpus.select("chunk_id", "content"))
         qv = [
             float(x)
             for x in T(spark, d, "embeddings")
@@ -736,7 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         out = Q.hybrid_search(
             corpus, "spark merge shuffle", top=20, query_vector=qv,
-            pool=None, rank_rounding=4,
+            pool=None, rank_rounding=4, index=idx,
         )
         return out.select("chunk_id", F.round("score", 6).alias("score"))
 
@@ -1504,7 +1537,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_bm25_search": f"""
             with {_bm25_sql_ctes(['spark', 'merge', 'shuffle'])}
-            select chunk_id, round(score, 4) as score from tscore
+            select 'scan' as tier, chunk_id, round(score, 4) as score from tscore
+            union all
+            select 'index' as tier, chunk_id, round(score, 4) as score from tscore
         """,
         "q_hybrid_search": f"""
             with {_bm25_sql_ctes(['spark', 'merge', 'shuffle'])},

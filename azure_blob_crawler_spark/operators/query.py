@@ -102,24 +102,33 @@ def text_search(
     content_col: str = "content",
     id_col: str = "chunk_id",
     _caller_cached: bool = False,
+    index=None,
 ) -> DataFrame:
     """BM25 top-k over the chunk corpus with full chunk columns + ``score``.
 
     ``top=None`` skips the limit (full ranking — hybrid's unbounded pool).
-    Cache discipline: the corpus is persisted for the scoring passes and
-    released once the small (id, score) set is materialized; the final
-    projection join replays the corpus lineage exactly once.
+    ``index`` (a TextSearchIndex) serves the scores from the persistent
+    postings+stats tables instead of tokenizing the corpus — the 100-TB
+    serving path; ``chunks`` is then only the projection source for the
+    result join. Cache discipline: the corpus is persisted for the scoring
+    passes and released once the small (id, score) set is materialized; the
+    final projection join replays the corpus lineage exactly once.
     ``_caller_cached=True`` means the caller owns the persist lifecycle
     (hybrid_search does)."""
-    if not _caller_cached:
-        chunks = chunks.persist()
-    scored = bm25_scores(chunks, query, content_col, id_col, manage_cache=False)
+    if index is not None:
+        scored = index.bm25(query)
+        if id_col != "chunk_id":
+            scored = scored.withColumnRenamed("chunk_id", id_col)
+    else:
+        if not _caller_cached:
+            chunks = chunks.persist()
+        scored = bm25_scores(chunks, query, content_col, id_col, manage_cache=False)
     if top is not None:
         scored = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(
             min(top, config.MAX_TOP)
         )
     top_k = scored.localCheckpoint(eager=True)
-    if not _caller_cached:
+    if index is None and not _caller_cached:
         chunks.unpersist()
     out = chunks.join(F.broadcast(top_k), id_col, "inner")
     return out.orderBy(F.desc("score"), F.asc(id_col))
@@ -164,6 +173,7 @@ def hybrid_search(
     pool: int | None = config.MAX_TOP,
     query_vector: list[float] | None = None,
     rank_rounding: int | None = None,
+    index=None,
 ) -> DataFrame:
     """Reciprocal-rank fusion of text + vector rankings
     (search_client.py:298-324 — Azure fuses server-side with RRF;
@@ -172,7 +182,9 @@ def hybrid_search(
     ``pool=None`` ranks the full corpus (no leg truncation);
     ``rank_rounding`` ranks on round(score, n) so rank order is reproducible
     across engines/arithmetic orders — the determinism knob the DuckDB
-    oracle relies on (ties then break on id in both engines).
+    oracle relies on (ties then break on id in both engines). ``index``
+    routes the text leg through the persistent TextSearchIndex (no corpus
+    tokenization in the plan).
 
     Cache discipline mirrors ``text_search``: the corpus is persisted for
     the two ranking legs, the fused ≤top (id, score) set is materialized,
@@ -180,7 +192,7 @@ def hybrid_search(
     chunks = chunks.persist()  # consumed by both rankers + the result join
     t = text_search(
         chunks, query_text, top=pool, content_col=content_col, id_col=id_col,
-        _caller_cached=True,
+        _caller_cached=True, index=index,
     )
     v = vector_search(
         chunks, query_vector=query_vector, query_text=query_text, top=pool,

@@ -45,6 +45,7 @@ from azure_blob_crawler_spark.operators.seen import (
     filter_unseen,
     rebuild_overgrown_shards,
 )
+from azure_blob_crawler_spark.operators.search_index import TextSearchIndex
 from azure_blob_crawler_spark.sources.store import SnapshotStore
 from azure_blob_crawler_spark.sources.synthetic import make_fetch_udf
 
@@ -53,6 +54,7 @@ CHUNKS = "chunks"
 DOC_META = "doc_meta"
 CLAIM_LOG = "claim_log"
 SEEN_CUCKOO = "seen_cuckoo"
+SEARCH_PREFIX = "search"
 
 
 class CrawlRunner:
@@ -68,6 +70,7 @@ class CrawlRunner:
         lock_rounds: bool = True,
         log_claims: bool = True,
         expire_every: int = 0,
+        maintain_text_index: bool = True,
     ):
         """``lock_rounds`` writes the pending→in_flight lock commit (reference
         peek-lock parity, servicebus_client.py:154-171); correctness does not
@@ -77,7 +80,11 @@ class CrawlRunner:
         runs snapshot GC (expire_snapshots, keep_last=3) on every table each
         N rounds — the reference's delete-after-processing cleanup
         (document_processor.py:344-358) as periodic table maintenance;
-        keep_last ≥ 2 so crash-replay still sees the last committed round."""
+        keep_last ≥ 2 so crash-replay still sees the last committed round.
+        ``maintain_text_index`` mirrors the reference's per-document search
+        upsert (search_client.py:70-121): the round's chunks MERGE also
+        MERGEs BM25 postings + doc stats so text/hybrid queries serve from
+        the stored index instead of re-tokenizing the corpus."""
         self.spark = spark
         self.store = SnapshotStore(spark, store_root)
         self.round_size = round_size
@@ -88,6 +95,11 @@ class CrawlRunner:
         self.lock_rounds = lock_rounds
         self.log_claims = log_claims
         self.expire_every = expire_every
+        self.maintain_text_index = maintain_text_index
+        self.search_index = TextSearchIndex(
+            self.store, SEARCH_PREFIX,
+            n_term_buckets=n_buckets, n_doc_buckets=n_buckets,
+        )
         self._fetch = make_fetch_udf()
         self._extract = make_extract_spans_udf()
         self._chunk = make_chunk_doc_udf()
@@ -262,6 +274,12 @@ class CrawlRunner:
             self.store.merge(CHUNKS, chunks)
         elif n_chunks:
             self.store.create(CHUNKS, chunks, key="chunk_id", n_buckets=self.n_buckets)
+        # search-index upsert rides the same commit point as the chunks MERGE
+        # (reference: every processed document is upserted into the Azure
+        # Search index, search_client.py:70-121); a crash before the frontier
+        # commit replays the round and re-MERGEs the same keys idempotently
+        if self.maintain_text_index and n_chunks:
+            self.search_index.update(chunks)
 
         # 5. doc metadata (document_processor.py:327-336 analogue)
         meta = (
@@ -420,7 +438,10 @@ class CrawlRunner:
         """Snapshot GC across all engine tables (old manifests + orphaned
         data dirs removed; readers of kept versions unaffected)."""
         stats = {}
-        for t in (FRONTIER, CHUNKS, DOC_META, CLAIM_LOG, SEEN_CUCKOO, "robots"):
+        for t in (
+            FRONTIER, CHUNKS, DOC_META, CLAIM_LOG, SEEN_CUCKOO, "robots",
+            self.search_index.postings, self.search_index.docs,
+        ):
             if self.store.exists(t):
                 stats[t] = self.store.expire_snapshots(t, keep_last=keep_last)
         return stats

@@ -111,6 +111,14 @@ class SnapshotStore:
     def _bucket_col(key_cols: list[str], n_buckets: int):
         return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
+    @staticmethod
+    def _bucket_cols_of(manifest: dict) -> list[str]:
+        """Columns the table buckets on — ``bucket_by`` when set at create
+        time (a PREFIX-or-subset of semantic interest, e.g. postings keyed
+        by (term, chunk_id) but bucketed by term so a query's term list
+        prunes to its buckets), else the MERGE key."""
+        return manifest.get("bucket_by") or manifest["key"]
+
     def _write_buckets(self, name: str, df: DataFrame, version: int, suffix: str = "") -> str:
         rel = os.path.join("data", f"v{version:06d}{suffix}")
         out = os.path.join(self._tdir(name), rel)
@@ -195,11 +203,15 @@ class SnapshotStore:
         key: str | list[str],
         n_buckets: int = 16,
         summary: dict | None = None,
+        bucket_by: str | list[str] | None = None,
     ) -> None:
         key_cols = [key] if isinstance(key, str) else list(key)
+        bucket_cols = (
+            [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+        ) if bucket_by else key_cols
         os.makedirs(self._tdir(name), exist_ok=True)
         version = self.current_version(name) + 1
-        tagged = df.withColumn("__bucket", self._bucket_col(key_cols, n_buckets))
+        tagged = df.withColumn("__bucket", self._bucket_col(bucket_cols, n_buckets))
         rel = self._write_buckets(name, tagged, version)
         base = os.path.join(self._tdir(name), rel)
         buckets = {
@@ -211,6 +223,7 @@ class SnapshotStore:
                 "version": version,
                 "key": key_cols,
                 "n_buckets": n_buckets,
+                "bucket_by": bucket_cols,
                 "buckets": buckets,
                 "summary": summary or {},
             },
@@ -238,7 +251,7 @@ class SnapshotStore:
         carrying the table's key columns to find which buckets rows land
         in)."""
         m = self._manifest(name, version)
-        return self._bucket_col(m["key"], m["n_buckets"])
+        return self._bucket_col(self._bucket_cols_of(m), m["n_buckets"])
 
     def table_bytes(self, name: str, manifest: dict | None = None) -> int:
         """Current on-disk size of the table's live data dirs (driver-side
@@ -291,10 +304,11 @@ class SnapshotStore:
             raise ValueError(f"unknown merge strategy: {strategy}")
         m = self._manifest(name)
         key_cols, n_buckets = m["key"], m["n_buckets"]
+        bucket_cols = self._bucket_cols_of(m)
         use_mor = strategy == "mor" or (
             strategy == "auto" and self.table_bytes(name, m) >= MOR_MIN_TABLE_BYTES
         )
-        up = updates.withColumn("__bucket", self._bucket_col(key_cols, n_buckets))
+        up = updates.withColumn("__bucket", self._bucket_col(bucket_cols, n_buckets))
         up = up.dropDuplicates(key_cols)  # MERGE requires unique source keys
         up.persist()
         try:
@@ -319,7 +333,7 @@ class SnapshotStore:
                 if current is not None:
                     merged = current.join(up.select(*key_cols), key_cols, "left_anti")
                     merged = merged.withColumn(
-                        "__bucket", self._bucket_col(key_cols, n_buckets)
+                        "__bucket", self._bucket_col(bucket_cols, n_buckets)
                     )
                     for b in touched:
                         new_buckets.pop(str(b), None)
@@ -345,7 +359,7 @@ class SnapshotStore:
                         "buckets": {str(b): new_buckets[str(b)] for b in over},
                     }
                     squashed = self._read_reconciled(name, probe).withColumn(
-                        "__bucket", self._bucket_col(key_cols, n_buckets)
+                        "__bucket", self._bucket_col(bucket_cols, n_buckets)
                     )
                     rel_c = self._write_buckets(name, squashed, version, suffix="-compact")
                     base_c = os.path.join(self._tdir(name), rel_c)
@@ -360,7 +374,7 @@ class SnapshotStore:
                 if current is not None:
                     kept = current.join(up.select(*key_cols), key_cols, "left_anti")
                     merged = merged.unionByName(
-                        kept.withColumn("__bucket", self._bucket_col(key_cols, n_buckets))
+                        kept.withColumn("__bucket", self._bucket_col(bucket_cols, n_buckets))
                     )
                 for b in touched:
                     new_buckets.pop(str(b), None)
@@ -382,6 +396,7 @@ class SnapshotStore:
                     "version": version,
                     "key": key_cols,
                     "n_buckets": n_buckets,
+                    "bucket_by": bucket_cols,
                     "buckets": new_buckets,
                     "summary": commit_summary,
                 },
@@ -395,12 +410,13 @@ class SnapshotStore:
         reconciled file (Iceberg ``rewrite_data_files`` parity)."""
         m = self._manifest(name)
         key_cols, n_buckets = m["key"], m["n_buckets"]
+        bucket_cols = self._bucket_cols_of(m)
         dirty = [b for b, ps in m["buckets"].items() if len(ps) > 1]
         if not dirty:
             return {"compacted_buckets": []}
         version = self.current_version(name) + 1
         squashed = self._read_reconciled(name, m, buckets=dirty).withColumn(
-            "__bucket", self._bucket_col(key_cols, n_buckets)
+            "__bucket", self._bucket_col(bucket_cols, n_buckets)
         )
         rel = self._write_buckets(name, squashed, version, suffix="-compact")
         base = os.path.join(self._tdir(name), rel)
@@ -414,6 +430,7 @@ class SnapshotStore:
                 "version": version,
                 "key": key_cols,
                 "n_buckets": n_buckets,
+                "bucket_by": bucket_cols,
                 "buckets": new_buckets,
                 "summary": commit_summary,
             },
@@ -422,7 +439,10 @@ class SnapshotStore:
 
     def overwrite(self, name: str, df: DataFrame, summary: dict | None = None) -> None:
         m = self._manifest(name)
-        self.create(name, df, key=m["key"], n_buckets=m["n_buckets"], summary=summary)
+        self.create(
+            name, df, key=m["key"], n_buckets=m["n_buckets"], summary=summary,
+            bucket_by=m.get("bucket_by"),
+        )
 
     def rollback(self, name: str, version: int) -> None:
         m = self._manifest(name, version)

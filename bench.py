@@ -58,6 +58,74 @@ def minhash_dedup_full(spark, sf_dir: str) -> "object":
     )
 
 
+def bm25_scan_once(spark, sf_dir: str):
+    """Round-1..3 q_bm25_search series: one-shot scan-tier BM25 (tokenizes
+    the corpus inside the query). Kept as its own entry so the series stays
+    comparable now that the contract query runs both tiers."""
+    from azure_blob_crawler_spark.operators.query import bm25_scores
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("chunk_id"), F.col("text").alias("content")
+    )
+    return bm25_scores(corpus, "spark merge shuffle")
+
+
+def bench_bm25_index(spark, sf_dir: str, queries: list[str]) -> dict[str, float]:
+    """Build the persistent index once, then serve repeated queries from it;
+    also time the same queries through the scan tier. The index amortizes
+    one corpus tokenization across every subsequent query — the repeated-
+    query latency drop the round-3 verdict asked the bench to show."""
+    import tempfile
+    import time as _t
+
+    from azure_blob_crawler_spark.operators.query import bm25_scores
+    from azure_blob_crawler_spark.operators.search_index import TextSearchIndex
+    from azure_blob_crawler_spark.sources.store import SnapshotStore
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("chunk_id"), F.col("text").alias("content")
+    )
+    out: dict[str, float] = {}
+    t0 = _t.time()
+    idx = TextSearchIndex(SnapshotStore(spark, tempfile.mkdtemp(prefix="benchidx_")))
+    idx.update(corpus)
+    out["bm25_index_build"] = round(_t.time() - t0, 3)
+    t0 = _t.time()
+    for q in queries:
+        idx.bm25(q).count()
+    out["bm25_indexed_%dq" % len(queries)] = round(_t.time() - t0, 3)
+    t0 = _t.time()
+    for q in queries:
+        bm25_scores(corpus, q).count()
+    out["bm25_scan_%dq" % len(queries)] = round(_t.time() - t0, 3)
+    return out
+
+
+def hybrid_scan_once(spark, sf_dir: str):
+    """Round-1..3 q_hybrid_search series: RRF with the scan-tier text leg
+    (the contract query now serves its text leg from the persistent index;
+    this keeps the bench series comparable)."""
+    from azure_blob_crawler_spark.operators.query import hybrid_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("chunk_id"), F.col("text").alias("content")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("string").alias("chunk_id"), F.col("embedding").alias("vector")
+    )
+    corpus = docs.join(emb, "chunk_id")
+    qv = [
+        float(x)
+        for x in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 1)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    return hybrid_search(
+        corpus, "spark merge shuffle", top=20, query_vector=qv, pool=None, rank_rounding=4
+    )
+
+
 def frontier_dedup_claim(spark, n: int) -> int:
     """Native-generation 1M-URL frontier → canonicalize → hash → dedup →
     politeness claim of 100k. Returns the claimed (budget-limited) row count."""
@@ -82,11 +150,21 @@ def main():
 
     qs = entrymod.queries()
     qs["q_minhash_dedup"] = minhash_dedup_full  # full-scale production tier
+    qs["q_bm25_search"] = bm25_scan_once  # series-comparable scan tier
+    qs["q_hybrid_search"] = hybrid_scan_once  # series-comparable scan text leg
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
+
+    times.update(
+        bench_bm25_index(
+            spark, sf_dir,
+            ["spark merge shuffle", "window rank partition", "document section page",
+             "corpus postings index", "quick brown fox"],
+        )
+    )
 
     t0 = time.time()
     n_dedup = frontier_dedup_claim(spark, FRONTIER_N)

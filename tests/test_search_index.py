@@ -1,0 +1,163 @@
+"""Persistent BM25 index: score parity with the scan tier, incremental
+update/delete semantics, term-pruned scans, and no corpus tokenization at
+query time (round-3 verdict item 1)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_blob_crawler_spark.operators.query import bm25_scores
+from azure_blob_crawler_spark.operators.search_index import TextSearchIndex
+from azure_blob_crawler_spark.sources.store import SnapshotStore
+
+DOCS = [
+    ("d%02d" % i, txt)
+    for i, txt in enumerate(
+        [
+            "spark merge shuffle join",
+            "merge shuffle",
+            "spark spark spark streaming",
+            "window rank partition",
+            "shuffle partition merge spark",
+            "tokenize corpus postings index",
+            "the quick brown fox",
+            "merge into frontier table",
+            "empty",
+            "spark sql catalyst tungsten",
+        ]
+        * 4
+    )
+]
+
+
+def _corpus(spark, rows=None):
+    return spark.createDataFrame(rows or DOCS, "chunk_id string, content string")
+
+
+def _scores(df):
+    return {
+        r["chunk_id"]: round(r["score"], 9)
+        for r in df.select("chunk_id", "score").collect()
+    }
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SnapshotStore(spark, str(tmp_path / "store"))
+
+
+def test_index_matches_scan_scores(spark, store):
+    corpus = _corpus(spark)
+    idx = TextSearchIndex(store, n_term_buckets=8, n_doc_buckets=8)
+    idx.update(corpus)
+    for q in ("spark merge shuffle", "postings", "quick fox spark", "absent-term"):
+        want = _scores(bm25_scores(corpus, q))
+        got = _scores(idx.bm25(q))
+        assert got.keys() == want.keys(), q
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (q, k)
+
+
+def test_incremental_update_and_vanished_terms(spark, store):
+    """A re-indexed chunk's vanished terms stop matching; the index equals a
+    fresh scan over the CURRENT corpus state after every commit."""
+    idx = TextSearchIndex(store, n_term_buckets=8, n_doc_buckets=8)
+    idx.update(_corpus(spark))
+    # re-crawl d00: 'join' vanishes, 'zebra' appears; d01 unchanged text but
+    # re-indexed; a brand-new doc d99 arrives
+    delta = [
+        ("d00", "spark zebra"),
+        ("d01", "merge shuffle"),
+        ("d99", "zebra crossing spark"),
+    ]
+    idx.update(_corpus(spark, delta))
+    current = {cid: txt for cid, txt in DOCS}
+    current.update({c: t for c, t in delta})
+    corpus_now = _corpus(spark, list(current.items()))
+    for q in ("join spark", "zebra", "merge shuffle spark"):
+        want = _scores(bm25_scores(corpus_now, q))
+        got = _scores(idx.bm25(q))
+        assert got.keys() == want.keys(), q
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (q, k)
+    # 'join' no longer matches d00 specifically
+    assert "d00" not in _scores(idx.bm25("join"))
+    n_docs, sum_len = idx.stats()
+    assert n_docs == corpus_now.count()
+
+
+def test_delete_removes_docs_and_stats(spark, store):
+    idx = TextSearchIndex(store, n_term_buckets=8, n_doc_buckets=8)
+    idx.update(_corpus(spark))
+    victims = spark.createDataFrame([("d00",), ("d06",)], "chunk_id string")
+    idx.delete(victims)
+    remaining = [(c, t) for c, t in DOCS if c not in ("d00", "d06")]
+    corpus_now = _corpus(spark, remaining)
+    for q in ("spark merge", "quick fox"):
+        want = _scores(bm25_scores(corpus_now, q))
+        got = _scores(idx.bm25(q))
+        assert got.keys() == want.keys(), q
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (q, k)
+    assert idx.stats()[0] == len(remaining)
+
+
+def test_query_reads_no_corpus_and_prunes_term_buckets(spark, store, tmp_path):
+    """The serving path must touch ONLY index tables — proven by deleting
+    the corpus files after the index build — and the postings scan must
+    touch only the query terms' buckets."""
+    corpus_dir = str(tmp_path / "corpus")
+    _corpus(spark).write.parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+    idx = TextSearchIndex(store, n_term_buckets=8, n_doc_buckets=8)
+    idx.update(corpus)
+    want = _scores(bm25_scores(spark.read.parquet(corpus_dir), "postings corpus"))
+
+    shutil.rmtree(corpus_dir)  # physically impossible to re-tokenize now
+    got = _scores(idx.bm25("postings corpus"))
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+    # term-bucket pruning: the postings read for these two terms lists only
+    # files under their own buckets' partition dirs
+    term_df = spark.createDataFrame([("postings",), ("corpus",)], "term string")
+    t_buckets = {
+        r["b"]
+        for r in term_df.select(store.bucket_expr(idx.postings).alias("b")).collect()
+    }
+    pruned = store.read_buckets(idx.postings, sorted(t_buckets))
+    files = pruned.inputFiles()
+    assert files, "pruned read is non-empty"
+    for f in files:
+        assert any(f"__bucket={b}/" in f or f.endswith(f"__bucket={b}") for b in t_buckets), f
+    # and it is a strict subset of the full table's files
+    assert len(files) < len(store.read(idx.postings).inputFiles())
+
+
+def test_crawl_round_maintains_index(spark, tmp_path):
+    """After real crawl rounds, the incrementally-maintained index serves the
+    same BM25 scores as a fresh scan of the chunks table."""
+    from azure_blob_crawler_spark.plans.crawl_round import CHUNKS, CrawlRunner
+    from azure_blob_crawler_spark.sources import synthetic
+
+    runner = CrawlRunner(spark, str(tmp_path / "crawl"), round_size=10, n_buckets=8)
+    seeds = spark.createDataFrame(
+        [
+            (e["url"], e["depth"], e["discovery_seq"])
+            for e in synthetic.seed_frontier_py(12)
+        ],
+        "url string, depth int, discovery_seq long",
+    )
+    runner.init_frontier(seeds, synthetic.robots_df(spark))
+    runner.run(max_rounds=4)
+    chunks = runner.store.read(CHUNKS).select("chunk_id", "content")
+    q = "document section page"
+    want = _scores(bm25_scores(chunks, q))
+    got = _scores(runner.search_index.bm25(q))
+    assert want, "query matched nothing — pick terms present in synthetic docs"
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
