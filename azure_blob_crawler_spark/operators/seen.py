@@ -34,6 +34,17 @@ from pyspark.sql import functions as F
 
 from azure_blob_crawler_spark import config
 
+
+def store_bucket(col: str, n_store_buckets: int):
+    """Shard id of a key — IDENTICAL to SnapshotStore's bucket transform for
+    a table keyed on the same column (``pmod(xxhash64(key), B)``). The
+    alignment is load-bearing: with the frontier table and the cuckoo shards
+    sharing B, shard b's keys live exactly in frontier bucket b, so a shard
+    rebuild can read ONLY that bucket of the authoritative table instead of
+    scanning it (plans/crawl_round.py step 6b)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_store_buckets)).cast("int")
+
+
 # --- bloom filter -----------------------------------------------------------
 
 
@@ -92,7 +103,7 @@ def build_bloom_shards(
     int64 per task, shard bitmap ~20 MB at 1% FPP); the 64-bucket default
     is a small-scale setting, not a 10^10-key one."""
     keyed = seen_hashes.select(col).withColumn(
-        "__cb", F.pmod(F.col(col), F.lit(n_store_buckets)).cast("int")
+        "__cb", store_bucket(col, n_store_buckets)
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -122,7 +133,7 @@ def bloom_probe(
     """Tag candidates with ``maybe_seen`` against the bloom shards, cogrouped
     per store bucket (one shard deserialized per task)."""
     cand = candidates.withColumn(
-        "__cb", F.pmod(F.col(hash_col), F.lit(n_store_buckets)).cast("int")
+        "__cb", store_bucket(hash_col, n_store_buckets)
     )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
@@ -378,7 +389,7 @@ def cuckoo_probe(
     ``filters``: (bucket int, blob binary). Each task deserializes exactly
     one shard — memory per task is one chain, regardless of total keys."""
     cand = candidates.withColumn(
-        "__cb", F.pmod(F.col(hash_col), F.lit(n_store_buckets)).cast("int")
+        "__cb", store_bucket(hash_col, n_store_buckets)
     )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
@@ -412,7 +423,7 @@ def cuckoo_insert(
     sized from max(shard_capacity, incoming batch); over-full shards grow by
     chaining (never drop keys)."""
     keys = new_keys.select(hash_col).withColumn(
-        "__cb", F.pmod(F.col(hash_col), F.lit(n_store_buckets)).cast("int")
+        "__cb", store_bucket(hash_col, n_store_buckets)
     )
 
     def upd(key, keys_pdf, filt_pdf):
@@ -438,7 +449,7 @@ MAX_CHAIN = 4  # rebuild a shard's geometry once its chain grows past this
 
 def rebuild_overgrown_shards(
     shards: DataFrame,
-    authoritative_keys: DataFrame,
+    authoritative_keys,
     n_store_buckets: int = config.SEEN_BUCKETS,
     hash_col: str = "url_hash",
     max_chain: int = MAX_CHAIN,
@@ -455,6 +466,13 @@ def rebuild_overgrown_shards(
     frontier-sourced rebuild preserves by construction). Geometry is sized
     for ``headroom ×`` the bucket's actual key count, so post-rebuild the
     chain is a single sub-filter at ≤50% load.
+
+    ``authoritative_keys`` is either a DataFrame of every key (filtered here
+    to the overgrown shards) or a CALLABLE ``(overgrown: list[int]) ->
+    DataFrame`` that produces only the touched shards' keys — with shard ids
+    aligned to the store's bucket transform (``store_bucket``), the caller
+    passes ``store.read_buckets(frontier, overgrown)`` and the authoritative
+    scan prunes to the rebuilt buckets instead of reading the whole table.
 
     Cost: one header-peek over the *touched* shards (8-byte chain-length
     field, no table deserialization) + one bucket-local key scan per
@@ -474,9 +492,10 @@ def rebuild_overgrown_shards(
         return shards
 
     keep = shards.filter(~F.col("bucket").isin(over))
+    source = authoritative_keys(over) if callable(authoritative_keys) else authoritative_keys
     keys = (
-        authoritative_keys.select(hash_col)
-        .withColumn("__cb", F.pmod(F.col(hash_col), F.lit(n_store_buckets)).cast("int"))
+        source.select(hash_col)
+        .withColumn("__cb", store_bucket(hash_col, n_store_buckets))
         .filter(F.col("__cb").isin(over))
     )
 

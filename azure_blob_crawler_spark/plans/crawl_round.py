@@ -341,13 +341,23 @@ class CrawlRunner:
             updated = cuckoo_insert(
                 new_rows.select("url_hash"), shards, n_store_buckets=self.n_buckets
             )
+
             # bound chain growth: shards whose chain exceeds MAX_CHAIN are
             # rebuilt at larger geometry from the authoritative key source
-            # (frontier ∪ this round's new rows — preserves cuckoo ⊇ frontier)
+            # (frontier ∪ this round's new rows — preserves cuckoo ⊇
+            # frontier). Shard ids share the frontier table's bucket
+            # transform, so the authoritative read prunes to exactly the
+            # overgrown buckets instead of scanning the frontier
+            # (round-3 verdict item 5).
+            def _keys_for(over: list[int]):
+                cur = self.store.read_buckets(FRONTIER, over)
+                new = new_rows.select("url_hash")
+                if cur is None:
+                    return new
+                return cur.select("url_hash").unionByName(new)
+
             updated = rebuild_overgrown_shards(
-                updated,
-                frontier.select("url_hash").unionByName(new_rows.select("url_hash")),
-                n_store_buckets=self.n_buckets,
+                updated, _keys_for, n_store_buckets=self.n_buckets
             )
             self._merge_or_create(SEEN_CUCKOO, updated, key="bucket")
 

@@ -118,8 +118,9 @@ def stream_unseen_urls(
     geometry-rebuilt in place, because GroupState holds only fingerprints,
     not keys. Size ``shard_capacity``/``n_buckets`` for the expected
     stream volume (config.seen_buckets_for); a long-lived deployment that
-    outgrows them should drain, rebuild the seen-set from the frontier
-    table via the batch path, and restart from a fresh checkpoint."""
+    outgrows them drains, then runs ``rebuild_stream_seen`` (below) to
+    seed a fresh checkpoint from the frontier table at rebuilt geometry,
+    and resumes on the new checkpoint."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -144,13 +145,29 @@ def stream_unseen_urls(
     state_schema = StructType([StructField("blob", BinaryType())])
 
     def first_seen(key, pdf_iter, state: GroupState):
+        import numpy as np
+
         if state.exists:
             chain = CuckooChain.from_bytes(bytes(state.get[0]))
         else:
             chain = CuckooChain.sized(shard_capacity)
-        for pdf in pdf_iter:
+        # The group's chunks are buffered so rebuild-seed rows (depth = -1,
+        # rebuild_stream_seen) populate state BEFORE any emission decision —
+        # a rebuild drain can carry real link files in the same micro-batch,
+        # and a frontier URL among them must be suppressed regardless of
+        # chunk order. Memory envelope: one store bucket's batch share, the
+        # same as the batch path's cogroup tasks.
+        pdfs = [pdf for pdf in pdf_iter]
+        seed_hashes = np.concatenate(
+            [pdf.loc[pdf["depth"] == -1, "url_hash"].to_numpy(dtype=np.int64) for pdf in pdfs]
+        ) if pdfs else np.zeros(0, dtype=np.int64)
+        if len(seed_hashes):
+            chain.insert_many(np.unique(seed_hashes))
+        for pdf in pdfs:
             keep = []
-            for i, h in enumerate(pdf["url_hash"]):
+            for i, (h, d) in enumerate(zip(pdf["url_hash"], pdf["depth"])):
+                if d == -1:
+                    continue  # seed rows are state-only, never emissions
                 h = int(h)
                 if not chain.contains(h):
                     chain.insert(h)
@@ -168,6 +185,9 @@ def stream_unseen_urls(
     fresh = canon.groupBy("__cb").applyInPandasWithState(
         first_seen, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+    # depth = -1 marks rebuild-seed rows (rebuild_stream_seen): they must
+    # populate state like any observation but are not first-seen emissions
+    fresh = fresh.filter(F.coalesce(F.col("depth"), F.lit(0)) >= 0)
     q = (
         fresh.writeStream.format("parquet")
         .option("path", out_dir)
@@ -176,6 +196,64 @@ def stream_unseen_urls(
         .start()
     )
     q.awaitTermination()
+
+
+def rebuild_stream_seen(
+    spark: SparkSession,
+    frontier_keys: DataFrame,
+    links_dir: str,
+    out_dir: str,
+    new_checkpoint_dir: str,
+    n_buckets: int = 8,
+    headroom: int = 2,
+) -> int:
+    """Drain-and-rebuild for the streaming first-seen state (round-3 verdict
+    item 4).
+
+    ``stream_unseen_urls``'s GroupState holds cuckoo FINGERPRINTS, not keys,
+    so an overgrown chain cannot be geometry-rebuilt in place. The rebuild
+    procedure the operator's docstring documents, made runnable:
+
+    1. the caller STOPS feeding the old checkpoint (availableNow drains are
+       naturally quiescent between runs);
+    2. the authoritative keys (the frontier table — invariant: streaming
+       state ⊇ every URL it ever emitted ⊆ frontier after ingest) are
+       appended into ``links_dir`` as one seed file with sentinel
+       ``depth = -1`` (a file-stream checkpoint is BOUND to its source path,
+       so the seed must flow through the same dir future drains read);
+    3. the stateful query runs against a FRESH checkpoint with geometry
+       sized ``headroom ×`` the per-bucket key share: every seed key lands
+       in a new single-sub-filter chain, and the post-state sentinel filter
+       keeps seed rows out of the emission stream (pre-existing REAL link
+       files in ``links_dir`` are drained normally in the same run — their
+       URLs are suppressed iff the frontier already holds them);
+    4. the caller resumes normal drains on ``new_checkpoint_dir`` /
+       ``out_dir``; previously seen URLs stay suppressed, chains are back to
+       O(1)-probe geometry.
+
+    ``out_dir`` must be FRESH alongside the checkpoint (a parquet sink's
+    ``_spark_metadata`` is keyed by batch id — reusing the old sink dir with
+    a restarted batch counter would silently skip writes); readers treat the
+    old and new out dirs as one concatenated first-seen log.
+
+    Returns the shard capacity used (pass it to subsequent
+    ``stream_unseen_urls`` calls so newly created key-groups match)."""
+    n_keys = frontier_keys.count()
+    shard_capacity = max(64, (headroom * n_keys + n_buckets - 1) // n_buckets)
+    cols = frontier_keys.columns
+    seed = frontier_keys.select(
+        F.col("url"),
+        F.lit(-1).cast("int").alias("depth"),
+        (F.col("discovery_seq") if "discovery_seq" in cols else F.lit(0))
+        .cast("long")
+        .alias("discovery_seq"),
+    )
+    seed.write.mode("append").parquet(links_dir)
+    stream_unseen_urls(
+        spark, links_dir, out_dir, new_checkpoint_dir,
+        n_buckets=n_buckets, shard_capacity=shard_capacity,
+    )
+    return shard_capacity
 
 
 def windowed_event_counts(

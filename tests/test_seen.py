@@ -162,6 +162,48 @@ def test_cuckoo_rebuild_bounds_chain_length(spark):
     assert tagged.filter(~F.col("maybe_seen")).count() == 0
 
 
+def test_cuckoo_rebuild_bucket_pruned_read(spark, tmp_path):
+    """Shard ids share the SnapshotStore bucket transform, so a rebuild's
+    authoritative read can prune to exactly the overgrown shards' frontier
+    buckets — asserted on the scan's actual input files."""
+    from azure_blob_crawler_spark.operators.seen import store_bucket
+    from azure_blob_crawler_spark.sources.store import SnapshotStore
+
+    n_b = 4
+    store = SnapshotStore(spark, str(tmp_path / "s"))
+    k_all = spark.range(30_000).select((F.col("id") * 7919).alias("url_hash"))
+    store.create("frontier", k_all, key="url_hash", n_buckets=n_b)
+
+    b_of = store_bucket("url_hash", n_b)
+    k_b1 = k_all.filter(b_of == 1)
+    k_rest = k_all.filter(b_of != 1)
+    shards = cuckoo_insert(k_rest, None, n_store_buckets=n_b)  # healthy
+    # bucket 1's shard is created tiny, then bulk-overgrown
+    shards = cuckoo_insert(k_b1.limit(10), shards, n_store_buckets=n_b, shard_capacity=4)
+    shards = cuckoo_insert(k_b1, shards, n_store_buckets=n_b)
+    lens = {r["bucket"]: int.from_bytes(bytes(r["blob"][:8]), "little")
+            for r in shards.collect()}
+    assert lens[1] > 4 and all(v <= 4 for b, v in lens.items() if b != 1)
+
+    calls = []
+
+    def keys_for(over):
+        calls.append(sorted(over))
+        df = store.read_buckets("frontier", over)
+        files = df.inputFiles()
+        assert files and all("__bucket=1" in f for f in files), files
+        return df
+
+    rebuilt = rebuild_overgrown_shards(shards, keys_for, n_store_buckets=n_b)
+    assert calls == [[1]]
+    after = {r["bucket"]: int.from_bytes(bytes(r["blob"][:8]), "little")
+             for r in rebuilt.collect()}
+    assert after[1] <= 4
+    # membership preserved: zero false negatives across every key
+    tagged = cuckoo_probe(k_all, rebuilt, n_store_buckets=n_b)
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
+
+
 def test_cuckoo_rebuild_noop_when_healthy(spark):
     """Shards within the chain bound pass through untouched (same blobs)."""
     keys = spark.range(1000).select(F.col("id").alias("url_hash"))

@@ -112,3 +112,74 @@ def test_stream_unseen_urls_stateful(spark, tmp_path):
     # every emitted hash unique — the operator IS the seen-set
     hashes = [r["url_hash"] for r in rows]
     assert len(hashes) == len(set(hashes))
+
+
+def _state_chain_lens(spark, ckpt):
+    """Per-key cuckoo chain lengths read from the checkpoint's actual state
+    (Spark 4 state data source)."""
+    rows = spark.read.format("statestore").load(ckpt).collect()
+    return {
+        r["key"]["__cb"]: int.from_bytes(
+            bytes(r["value"]["groupState"]["blob"][:8]), "little"
+        )
+        for r in rows
+    }
+
+
+def test_rebuild_stream_seen(spark, tmp_path):
+    """Drain-and-rebuild: state grown far past the healthy chain bound is
+    re-seeded from the frontier at rebuilt geometry in a fresh checkpoint;
+    first-seen semantics hold across the switch and the new state's chains
+    are back to O(1)-probe length (verified in the checkpoint itself)."""
+    from azure_blob_crawler_spark.streaming.rounds import (
+        rebuild_stream_seen,
+        stream_unseen_urls,
+    )
+
+    links_dir = str(tmp_path / "links")
+    out_dir = str(tmp_path / "out")
+    ckpt_old = str(tmp_path / "ckpt_old")
+    ckpt_new = str(tmp_path / "ckpt_new")
+    os.makedirs(links_dir)
+
+    n_buckets = 2
+    old_urls = [(f"https://h{i % 5}.example.com/p{i}.txt", 0, i) for i in range(1200)]
+    write_links(spark, links_dir, old_urls)
+    # deliberately undersized shards: chains overgrow far past MAX_CHAIN
+    stream_unseen_urls(spark, links_dir, out_dir, ckpt_old,
+                       n_buckets=n_buckets, shard_capacity=16)
+    # 16-bit-fingerprint state admits rare false positives (a colliding NEW
+    # url is suppressed) — tolerate the documented FP rate, never a dup
+    n_emitted = spark.read.parquet(out_dir).count()
+    assert 1195 <= n_emitted <= 1200
+    lens_old = _state_chain_lens(spark, ckpt_old)
+    assert max(lens_old.values()) > 4, lens_old  # the repro actually degrades
+
+    # rebuild from the authoritative keys (what the frontier table holds)
+    frontier = spark.createDataFrame(
+        old_urls, "url string, depth int, discovery_seq long"
+    )
+    out_new = str(tmp_path / "out_new")
+    cap = rebuild_stream_seen(
+        spark, frontier, links_dir, out_new, ckpt_new, n_buckets=n_buckets
+    )
+    lens_new = _state_chain_lens(spark, ckpt_new)
+    assert set(lens_new) == set(lens_old)
+    assert max(lens_new.values()) <= 2, lens_new  # rebuilt geometry holds all keys
+    assert cap >= 1200  # headroom × per-bucket share
+    # the seed drain emitted the pre-existing real link files' urls (they
+    # were unprocessed by the fresh checkpoint, all already in the frontier →
+    # all suppressed) and NO sentinel seed rows
+    emitted_rebuild = spark.read.parquet(out_new).collect()
+    assert emitted_rebuild == []
+
+    # resume on the NEW checkpoint: repeats suppressed, fresh URLs emitted
+    write_links(spark, links_dir, [
+        ("https://h0.example.com/p0.txt", 1, 5000),      # seen before rebuild
+        ("https://h1.example.com/p101.txt", 1, 5001),    # seen before rebuild
+        ("https://new.example.com/fresh.txt", 1, 5002),  # genuinely new
+    ])
+    stream_unseen_urls(spark, links_dir, out_new, ckpt_new,
+                       n_buckets=n_buckets, shard_capacity=cap)
+    got = [r["url"] for r in spark.read.parquet(out_new).collect()]
+    assert got == ["https://new.example.com/fresh.txt"]
