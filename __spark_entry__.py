@@ -90,6 +90,15 @@ _URL_SQL = (
     "else '.bin' end || '#frag'"
 )
 
+# the same URL with an unsorted query string (exercises the opt-in
+# query-param sort tier of q_url_canonicalize)
+_URL_Q_SQL = (
+    "'https://Host' || cast(doc_id % 50 as varchar) || '.Example.COM:443/p/./x' "
+    "|| cast(doc_id as varchar) || '/../d' || cast(doc_id as varchar) "
+    "|| case when doc_id % 3 = 0 then '.txt' when doc_id % 3 = 1 then '.pdf' "
+    "else '.bin' end || '?z=1&a=' || cast(doc_id as varchar) || '&m=2&a=0#frag'"
+)
+
 
 def _url_col() -> F.Column:
     ext = (
@@ -465,11 +474,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- crawl-shaped ops (§2.2 projections, §2.1 admission) ---
 
     def q_url_canonicalize(spark, d):
-        return (
-            T(spark, d, "documents")
-            .select("doc_id", _url_col().alias("u"))
-            .select("doc_id", canonical_url("u").alias("curl"))
+        """Tagged union of both canonicalization tiers: 'plain' (query
+        string verbatim) and 'sorted' (opt-in stable query-param sort —
+        crawl hygiene so ?b=2&a=1 ≡ ?a=1&b=2 in the frontier)."""
+        docs = T(spark, d, "documents")
+        sid = F.col("doc_id").cast("string")
+        plain = docs.select(
+            F.lit("plain").alias("variant"), "doc_id",
+            canonical_url(_url_col()).alias("curl"),
         )
+        ext = (
+            F.when(F.col("doc_id") % 3 == 0, ".txt")
+            .when(F.col("doc_id") % 3 == 1, ".pdf")
+            .otherwise(".bin")
+        )
+        url_q = F.concat(
+            F.lit("https://Host"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".Example.COM:443/p/./x"), sid, F.lit("/../d"), sid, ext,
+            F.lit("?z=1&a="), sid, F.lit("&m=2&a=0#frag"),
+        )
+        srt = docs.select(
+            F.lit("sorted").alias("variant"), "doc_id",
+            canonical_url(url_q, sort_query=True).alias("curl"),
+        )
+        return plain.unionByName(srt)
 
     q["q_url_canonicalize"] = q_url_canonicalize
 
@@ -1135,6 +1163,11 @@ def oracle_sql() -> dict[str, str]:
         "u", "duckdb",
         from_clause=f"(select doc_id, {_URL_SQL} as u from documents)",
     )
+    canon_sub_sorted = canonicalize_sql(
+        "u", "duckdb",
+        from_clause=f"(select doc_id, {_URL_Q_SQL} as u from documents)",
+        sort_query=True,
+    )
 
     simhash_sigs = simhash_native_sql(
         "text", "(select doc_id, text from documents where doc_id < 200)"
@@ -1334,7 +1367,9 @@ def oracle_sql() -> dict[str, str]:
             ) group by user_id
         """,
         "q_url_canonicalize": f"""
-            select doc_id, canon as curl from ({canon_sub})
+            select 'plain' as variant, doc_id, canon as curl from ({canon_sub})
+            union all
+            select 'sorted' as variant, doc_id, canon as curl from ({canon_sub_sorted})
         """,
         "q_admission_filter": f"""
             select doc_id, curl,

@@ -36,7 +36,33 @@ def _rx(expr: str, pattern: str, repl: str, dialect: str) -> str:
     return f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
 
 
-def _steps(dialect: str) -> list[tuple[str, str]]:
+def _sort_query_sql(qry: str, dialect: str) -> str:
+    """Stable query-param sort (opt-in crawl hygiene): params ordered by key,
+    duplicates keeping their original relative order (the index rides along
+    in the sort struct). Rendered per dialect; both sides sort structs
+    field-by-field and keep empty params verbatim, so ``?b=2&a=1`` and
+    ``?a=1&b=2`` collapse to one frontier entry without ever reordering
+    same-key duplicates."""
+    if dialect == "spark":
+        keyed = (
+            f"transform(split({qry}, '&'), "
+            "(x, i) -> named_struct('k', split_part(x, '=', 1), 'i', i, 'p', x))"
+        )
+        return (
+            f"case when {qry} = '' then {qry} else "
+            f"array_join(transform(array_sort({keyed}), s -> s.p), '&') end"
+        )
+    keyed = (
+        f"list_transform(string_split({qry}, '&'), "
+        "(x, i) -> {'k': split_part(x, '=', 1), 'i': i, 'p': x})"
+    )
+    return (
+        f"case when {qry} = '' then {qry} else "
+        f"array_to_string(list_transform(list_sort({keyed}), s -> s.p), '&') end"
+    )
+
+
+def _steps(dialect: str, sort_query: bool = False) -> list[tuple[str, str]]:
     """Ordered (alias, sql) steps; each sql may reference prior aliases.
 
     Inlined textually for the Spark Column form, so every step references its
@@ -82,20 +108,33 @@ def _steps(dialect: str) -> list[tuple[str, str]]:
         prev = f"ppb{i}"
     # drop sentinel / trailing slash; '' means root
     steps.append(("path", _rx(prev, "/+$", "", dialect)))
+    qfinal = "qry"
+    if sort_query:
+        steps.append(("qsrt", _sort_query_sql("qry", dialect)))
+        qfinal = "qsrt"
     steps.append(
-        ("canon", "sch || '://' || auth || path || case when qry <> '' then '?' || qry else '' end")
+        (
+            "canon",
+            "sch || '://' || auth || path || "
+            f"case when {qfinal} <> '' then '?' || {qfinal} else '' end",
+        )
     )
     return steps
 
 
-def canonicalize_sql(url_expr: str, dialect: str, from_clause: str | None = None) -> str:
+def canonicalize_sql(
+    url_expr: str,
+    dialect: str,
+    from_clause: str | None = None,
+    sort_query: bool = False,
+) -> str:
     """Render the full canonicalization as a scalar SQL expression.
 
     Returns a nested-subquery SELECT when ``from_clause`` is given (oracle
     use), else a single scalar expression built by textual substitution
     (Spark ``F.expr`` use).
     """
-    steps = _steps(dialect)
+    steps = _steps(dialect, sort_query=sort_query)
     if from_clause is None:
         # inline: substitute aliases textually, innermost-first
         env: dict[str, str] = {}
@@ -136,7 +175,24 @@ def _normalize_path(path: Column) -> Column:
     return F.regexp_replace(p, "/+$", "")
 
 
-def canonical_url(url: Column | str) -> Column:
+def sort_query_params(qry: Column) -> Column:
+    """Stable query-param sort as a native column expression: params ordered
+    by key (text before the first '='), same-key duplicates keeping their
+    original relative order via the ride-along index in the sort struct."""
+    keyed = F.transform(
+        F.split(qry, "&"),
+        lambda x, i: F.struct(
+            F.split_part(x, F.lit("="), F.lit(1)).alias("k"),
+            i.alias("i"),
+            x.alias("p"),
+        ),
+    )
+    return F.when(qry == "", qry).otherwise(
+        F.array_join(F.transform(F.array_sort(keyed), lambda s: s["p"]), "&")
+    )
+
+
+def canonical_url(url: Column | str, sort_query: bool = False) -> Column:
     """Canonicalized URL as a native Spark column expression.
 
     Built on ``parse_url`` (one java.net.URI parse feeding scheme/authority/
@@ -145,6 +201,10 @@ def canonical_url(url: Column | str) -> Column:
     compiles to pathologically large codegen in Spark; this form is a few
     hundred bytes of generated code. Observable output is identical; the
     parity test in tests/test_urls.py pins both against the same cases.
+
+    ``sort_query`` (opt-in crawl hygiene, off by default to preserve the
+    engine's historical frontier keys): stable-sorts query params by key so
+    ``?b=2&a=1`` and ``?a=1&b=2`` dedup to one frontier entry.
     """
     u = F.trim(F.col(url) if isinstance(url, str) else url)
     sch = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
@@ -156,6 +216,8 @@ def canonical_url(url: Column | str) -> Column:
     )
     path = _normalize_path(F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")))
     qry = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    if sort_query:
+        qry = sort_query_params(qry)
     qpart = F.when(qry != "", F.concat(F.lit("?"), qry)).otherwise(F.lit(""))
     return F.concat(sch, F.lit("://"), auth, path, qpart)
 
@@ -171,7 +233,7 @@ def _colname(c: Column | str) -> str:
     return c if isinstance(c, str) else c._jc.toString()  # noqa: SLF001
 
 
-def canonical_url_py(url: str) -> str:
+def canonical_url_py(url: str, sort_query: bool = False) -> str:
     """Pure-Python twin of ``canonical_url`` for the reference-semantics
     simulator (plans/simulator.py). Segment-stack dot resolution equals the
     engine's bounded regex passes for any URL nested ≤ 8 deep (test-pinned
@@ -200,6 +262,15 @@ def canonical_url_py(url: str) -> str:
             continue
         segs.append(seg)
     npath = "".join("/" + s for s in segs)
+    if sort_query and qry:
+        params = qry.split("&")
+        params = [
+            p
+            for _, p in sorted(
+                ((q.split("=", 1)[0], i), q) for i, q in enumerate(params)
+            )
+        ]
+        qry = "&".join(params)
     qpart = f"?{qry}" if qry else ""
     return f"{scheme}://{auth}{npath}{qpart}"
 
