@@ -295,13 +295,18 @@ def run_query(
     odata_filter: str | None = None,
     include_vector: bool = False,
     embed_dim: int = config.TEST_EMBEDDING_DIM,
+    index=None,
 ) -> DataFrame:
     """Full query path: validate → filter → score → top-k → project.
 
     Mirrors mcp app.py:66-135: top clamp (≤100, :97), OData-ish pre-filter
     (:96), field selection (:104-121), vector-field exclusion (:127).
     Wildcard '*' returns the match-all scan capped at GET_ALL_DOCS_CAP
-    (:156-165)."""
+    (:156-165). ``index`` (TextSearchIndex) serves text/hybrid scoring from
+    the persistent postings index. Note the pre-filter applies to the
+    PROJECTION join, not the score set — BM25 statistics always reflect the
+    whole indexed corpus, matching the reference (Azure Search applies
+    $filter against index-wide statistics too)."""
     if search_type not in ("text", "vector", "hybrid"):
         raise ValueError(f"unknown search_type: {search_type}")  # search_client.py:230-236
     if search_type in ("text", "hybrid") and not query_text:
@@ -313,11 +318,11 @@ def run_query(
     if query_text == "*":
         out = base.limit(config.GET_ALL_DOCS_CAP).withColumn("score", F.lit(1.0))
     elif search_type == "text":
-        out = text_search(base, query_text, top)
+        out = text_search(base, query_text, top, index=index)
     elif search_type == "vector":
         out = vector_search(base, query_text=query_text, top=top, embed_dim=embed_dim)
     else:
-        out = hybrid_search(base, query_text, top, embed_dim=embed_dim)
+        out = hybrid_search(base, query_text, top, embed_dim=embed_dim, index=index)
     if select_fields:
         keep = list(select_fields) + (["score"] if "score" not in select_fields else [])
         out = out.select(*keep)

@@ -90,9 +90,14 @@ def claim_round(
 
     # per-host salt widths from pending counts (map-side partial agg → tiny
     # result): only hosts over the per-task target need width > 1, so the
-    # broadcast carries just the skewed hosts
+    # broadcast carries just the skewed hosts. Counted on the pre-join,
+    # pre-admission (host)-only projection: at scale that is a column-pruned
+    # stored-table scan, and an over-count (rows admission would drop) only
+    # widens the salt — the per-task bound stays conservative either way.
     hot = (
-        budgeted.groupBy("host")
+        frontier.filter(F.col("state") == "pending")
+        .select("host")
+        .groupBy("host")
         .agg(F.count(F.lit(1)).alias("__hn"))
         .filter(F.col("__hn") > salt_target_rows)
         .select(

@@ -129,6 +129,47 @@ class TextSearchIndex:
         doc_rows.unpersist()
         return out
 
+    def rebuild(
+        self, chunks: DataFrame, id_col: str = "chunk_id", content_col: str = "content"
+    ) -> dict:
+        """Full re-index from the authoritative chunk corpus: fresh postings
+        and docs versions replace the old file lists in one commit each, and
+        the dirty flag CLEARS — subsequent queries drop the gen-validity
+        join until the next replacing update. The maintenance move for a
+        long-lived index accumulating stale postings (Azure Search parity:
+        index rebuild via full re-upload); old versions stay time-travelable
+        until expire_snapshots."""
+        gen = self._next_gen_for_rebuild()
+        toks = chunks.select(
+            F.col(id_col).alias("chunk_id"),
+            _tokens(F.col(content_col)).alias("__ts"),
+        )
+        doc_rows = toks.select(
+            "chunk_id", F.size("__ts").alias("doc_len"), F.lit(gen).alias("gen")
+        ).persist()
+        n, s = self._agg_len(doc_rows)
+        post_rows = (
+            toks.select("chunk_id", F.size("__ts").alias("doc_len"), F.explode("__ts").alias("term"))
+            .groupBy("term", "chunk_id", "doc_len")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("gen", F.lit(gen))
+            .select("term", "chunk_id", "tf", "doc_len", "gen")
+        )
+        summary = {"gen": gen, "n_docs": n, "sum_len": s, "dirty": False}
+        self.store.create(
+            self.docs, doc_rows, key="chunk_id", n_buckets=self.n_doc_buckets,
+            summary=summary,
+        )
+        self.store.create(
+            self.postings, post_rows, key=["term", "chunk_id"],
+            n_buckets=self.n_term_buckets, bucket_by="term",
+        )
+        doc_rows.unpersist()
+        return summary
+
+    def _next_gen_for_rebuild(self) -> int:
+        return int(self._summary().get("gen", 0)) + 1
+
     def delete(self, chunk_ids: DataFrame, id_col: str = "chunk_id") -> dict:
         """Remove chunks from the index. Postings rows are NOT touched —
         without a current-gen docs row they fail the validity join at query

@@ -58,6 +58,23 @@ def minhash_dedup_full(spark, sf_dir: str) -> "object":
     )
 
 
+def url_canon_plain(spark, sf_dir: str):
+    """Round-1..3 q_url_canonicalize series: plain canonicalization only
+    (the contract query is now a tagged plain/sorted union)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ext = (
+        F.when(F.col("doc_id") % 3 == 0, ".txt")
+        .when(F.col("doc_id") % 3 == 1, ".pdf")
+        .otherwise(".bin")
+    )
+    u = F.concat(
+        F.lit("https://Host"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".Example.COM:443/p/./x"), F.col("doc_id").cast("string"),
+        F.lit("/../d"), F.col("doc_id").cast("string"), ext, F.lit("#frag"),
+    )
+    return docs.select("doc_id", canonical_url(u).alias("curl"))
+
+
 def bm25_scan_once(spark, sf_dir: str):
     """Round-1..3 q_bm25_search series: one-shot scan-tier BM25 (tokenizes
     the corpus inside the query). Kept as its own entry so the series stays
@@ -152,6 +169,7 @@ def main():
     qs["q_minhash_dedup"] = minhash_dedup_full  # full-scale production tier
     qs["q_bm25_search"] = bm25_scan_once  # series-comparable scan tier
     qs["q_hybrid_search"] = hybrid_scan_once  # series-comparable scan text leg
+    qs["q_url_canonicalize"] = url_canon_plain  # series-comparable plain tier
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

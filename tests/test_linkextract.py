@@ -59,6 +59,23 @@ def test_python_twin_parity(href, expected):
     assert got == expected
 
 
+def test_empty_href_dropped(spark):
+    """Empty / whitespace-only hrefs are RFC 3986 same-document references —
+    both twins drop them instead of fabricating a basedir/ URL."""
+    from azure_blob_crawler_spark.functions.urls import resolve_href
+
+    for h in ("", "   ", "\t"):
+        assert resolve_href_py(BASE, h) is None
+    df = spark.createDataFrame(
+        [(BASE, ""), (BASE, "   "), (BASE, "ok.html")], "base string, href string"
+    )
+    got = [
+        r["r"]
+        for r in df.select(resolve_href(F.col("base"), F.col("href")).alias("r")).collect()
+    ]
+    assert got[0] is None and got[1] is None and got[2] is not None
+
+
 def test_base_with_embedded_url_in_query(spark):
     """A base URL whose query embeds another absolute URL must resolve
     relative hrefs against the OUTER document's path."""

@@ -104,6 +104,26 @@ def test_delete_removes_docs_and_stats(spark, store):
     assert idx.stats()[0] == len(remaining)
 
 
+def test_rebuild_clears_dirty_and_matches_scan(spark, store):
+    """A full rebuild resets the index to clean (single-job queries) and
+    still scores identically to a fresh scan."""
+    idx = TextSearchIndex(store, n_term_buckets=8, n_doc_buckets=8)
+    idx.update(_corpus(spark))
+    idx.update(_corpus(spark, [("d00", "spark zebra")]))  # replacing → dirty
+    assert store.summary(idx.docs)["dirty"] is True
+    current = {cid: txt for cid, txt in DOCS}
+    current["d00"] = "spark zebra"
+    corpus_now = _corpus(spark, list(current.items()))
+    idx.rebuild(corpus_now)
+    assert store.summary(idx.docs)["dirty"] is False
+    for q in ("join spark", "zebra merge"):
+        want = _scores(bm25_scores(corpus_now, q))
+        got = _scores(idx.bm25(q))
+        assert got.keys() == want.keys(), q
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (q, k)
+
+
 def test_query_reads_no_corpus_and_prunes_term_buckets(spark, store, tmp_path):
     """The serving path must touch ONLY index tables — proven by deleting
     the corpus files after the index build — and the postings scan must

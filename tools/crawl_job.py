@@ -25,6 +25,10 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=100)
     ap.add_argument("--round-size", type=int, default=10)
     ap.add_argument("--max-rounds", type=int, default=1000)
+    ap.add_argument(
+        "--no-text-index", action="store_true",
+        help="skip the per-round BM25 postings upsert (reference parity keeps it on)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("crawl-frontier-job").getOrCreate()
@@ -32,7 +36,10 @@ def main() -> None:
     from azure_blob_crawler_spark.plans.crawl_round import CrawlRunner
     from azure_blob_crawler_spark.sources import synthetic
 
-    runner = CrawlRunner(spark, args.store, round_size=args.round_size, n_buckets=8)
+    runner = CrawlRunner(
+        spark, args.store, round_size=args.round_size, n_buckets=8,
+        maintain_text_index=not args.no_text_index,
+    )
     if not runner.store.exists("frontier"):
         seeds = spark.createDataFrame(
             [
