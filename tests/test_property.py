@@ -218,20 +218,24 @@ def test_grouped_robots_roundtrip(groups, add_star):
     txt = "\n".join(lines)
 
     # an agent token appearing in exactly one group resolves to that group
-    # (unless a token from another group is a substring of it — longest-
-    # match semantics make that the expected winner, so skip those)
+    # (unless a token from another group is a PREFIX of it — RFC-9309
+    # longest-prefix matching makes that the expected winner, so skip those)
     all_tokens = [a for agents, _, _ in groups for a in agents]
     for agents, delay, prefixes in groups:
+        # the "Allow: /" run-closer is itself captured as an allow prefix
+        exp_alw = ["/"] if (delay is None and not prefixes) else []
         for a in agents:
             if all_tokens.count(a) != 1:
                 continue
-            if any(t != a and t in a for t in all_tokens):
+            if any(t != a and a.startswith(t) for t in all_tokens):
                 continue
             got = parse_robots_grouped_py(txt, a)
-            assert got == (delay, prefixes), (a, txt)
+            assert got == (delay, prefixes, exp_alw), (a, txt)
 
     # unknown agent: '*' group iff present
     unknown = "zz-unmatched-agent-9"
-    if not any(t in unknown for t in all_tokens):
+    if not any(unknown.startswith(t) for t in all_tokens):
         got = parse_robots_grouped_py(txt, unknown)
-        assert got == ((star_delay, star_dis) if add_star else (None, []))
+        assert got == (
+            (star_delay, star_dis, []) if add_star else (None, [], [])
+        )
