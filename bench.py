@@ -145,7 +145,14 @@ def hybrid_scan_once(spark, sf_dir: str):
 
 def frontier_dedup_claim(spark, n: int) -> int:
     """Native-generation 1M-URL frontier → canonicalize → hash → dedup →
-    politeness claim of 100k. Returns the claimed (budget-limited) row count."""
+    politeness claim of 100k. Returns the claimed (budget-limited) row count.
+
+    The ingest result is materialized before the claim, mirroring
+    production: the claim reads the committed frontier TABLE, never the
+    ingest lineage (the round-4 skew-adaptive salt adds a per-host count
+    pass over the claim input — against a stored table that is a
+    column-pruned scan; re-deriving an unpersisted 1M-row canonicalize+dedup
+    lineage for it would time the wrong design)."""
     seeds = seed_frontier_df(spark, n)
     frontier = (
         seeds.withColumn("url", canonical_url("url"))
@@ -154,9 +161,12 @@ def frontier_dedup_claim(spark, n: int) -> int:
         .dropDuplicates(["url_hash"])
         .withColumn("state", F.lit("pending"))
         .withColumn("attempts", F.lit(0))
-    )
+    ).persist()
+    frontier.count()
     claimed = claim_round(frontier, robots_df(spark), round_size=100_000, round_seconds=1000.0)
-    return claimed.count()
+    out = claimed.count()
+    frontier.unpersist()
+    return out
 
 
 def main():
@@ -184,6 +194,10 @@ def main():
         )
     )
 
+    # warm the exact ingest+claim plan shapes (JIT/codegen compile) before
+    # the timed run — same practice as tools/bench_scaling.py; 20k rows is
+    # 2% of the timed input, so no meaningful data caching carries over
+    frontier_dedup_claim(spark, 20_000)
     t0 = time.time()
     n_dedup = frontier_dedup_claim(spark, FRONTIER_N)
     frontier_sec = time.time() - t0
