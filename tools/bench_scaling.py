@@ -63,12 +63,28 @@ print(json.dumps({"cores": cores, "n": n, "sec": round(best, 2),
 """
 
 
+def _cpu_sample() -> tuple[int, int]:
+    """(busy_jiffies, steal_jiffies) from /proc/stat — sampled around each
+    run so co-tenant interference is attributable per measurement."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    busy = vals[0] + vals[1] + vals[2] + steal  # user+nice+system+steal
+    return busy, steal
+
+
 def run(cores: int, n: int) -> dict:
+    b0, s0 = _cpu_sample()
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(cores), str(n)],
         capture_output=True, text=True, check=True, cwd="/root/repo",
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    b1, s1 = _cpu_sample()
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    db, ds = b1 - b0, s1 - s0
+    res["steal_pct_of_nonidle"] = round(100.0 * ds / db, 1) if db > 0 else 0.0
+    return res
 
 
 def main():
