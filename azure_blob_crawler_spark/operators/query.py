@@ -253,35 +253,74 @@ def odata_filter_to_sql(filter_str: str) -> str:
     ``field eq value`` terms (app.py:90-101). Supported grammar: comparisons
     ``field (eq|ne|gt|ge|lt|le) literal`` combined with and/or/not and
     parentheses; literals are single-quoted strings (``''`` escape), numbers,
-    true/false/null. Everything else raises — no silent passthrough of
-    unvalidated expressions into the engine."""
-    out: list[str] = []
+    true/false/null (an identifier in value position compares field-to-
+    field). Everything else raises — no silent passthrough of unvalidated
+    expressions into the engine.
+
+    Translation is POSITION-AWARE (an LL(1) walk over the term grammar), not
+    a context-free token rewrite: a field named ``GE`` or ``eq`` is an
+    identifier in field position and an operator only in operator position
+    (hypothesis-found in round 4 — the flat rewrite turned the field ``GE``
+    into ``>=``). Only ``not`` stays reserved in field position (it opens a
+    negation there); a malformed or truncated expression raises instead of
+    emitting a dangling predicate."""
     tokens = _ODATA_TOKEN.findall(filter_str)
     if not tokens:
         raise ValueError("empty OData filter")
+    out: list[str] = []
+    state = "term"  # term → op → value → conj → term …
+    depth = 0
     for tok in tokens:
         low = tok.lower()
-        if tok.startswith("'"):
-            # Accept only a complete quoted literal ('' escapes a quote).
-            # A dangling quote like `'a` otherwise matches the word branch of
-            # _ODATA_TOKEN and would flow unbalanced into F.expr.
-            if not re.fullmatch(r"'(?:[^']|'')*'", tok):
-                raise ValueError(f"unterminated string literal: {tok!r}")
-            out.append(tok)
-        elif low in _ODATA_OPS:
-            out.append(_ODATA_OPS[low])
-        elif low in ("and", "or", "not"):
-            out.append(low.upper())
-        elif tok in ("(", ")"):
-            out.append(tok)
-        elif low in ("true", "false", "null"):
-            out.append(low)
-        elif _NUMBER.match(tok):
-            out.append(tok)
-        elif _IDENT.match(tok):
-            out.append(tok)
-        else:
-            raise ValueError(f"unsupported OData token: {tok!r}")
+        if state == "term":
+            if tok == "(":
+                out.append(tok)
+                depth += 1
+            elif low == "not":
+                out.append("NOT")
+            elif not tok.startswith("'") and _IDENT.match(tok):
+                out.append(tok)
+                state = "op"
+            else:
+                raise ValueError(f"expected field, got: {tok!r}")
+        elif state == "op":
+            if low in _ODATA_OPS:
+                out.append(_ODATA_OPS[low])
+                state = "value"
+            else:
+                raise ValueError(f"expected comparison operator, got: {tok!r}")
+        elif state == "value":
+            if tok.startswith("'"):
+                # complete quoted literal only ('' escapes a quote) — a
+                # dangling `'a` matches the word branch of _ODATA_TOKEN and
+                # would flow unbalanced into F.expr
+                if not re.fullmatch(r"'(?:[^']|'')*'", tok):
+                    raise ValueError(f"unterminated string literal: {tok!r}")
+                out.append(tok)
+            elif low in ("true", "false", "null"):
+                out.append(low)
+            elif _NUMBER.match(tok):
+                out.append(tok)
+            elif low not in ("and", "or", "not") and _IDENT.match(tok):
+                out.append(tok)  # field-to-field comparison
+            else:
+                raise ValueError(f"expected literal, got: {tok!r}")
+            state = "conj"
+        else:  # conj
+            if tok == ")":
+                if depth == 0:
+                    raise ValueError("unbalanced ')' in OData filter")
+                out.append(tok)
+                depth -= 1
+            elif low in ("and", "or"):
+                out.append(low.upper())
+                state = "term"
+            else:
+                raise ValueError(f"expected and/or, got: {tok!r}")
+    if state != "conj":
+        raise ValueError("incomplete OData expression")
+    if depth != 0:
+        raise ValueError("unbalanced '(' in OData filter")
     return " ".join(out)
 
 

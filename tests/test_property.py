@@ -96,7 +96,14 @@ def test_cuckoo_no_false_negatives(keys):
     assert all(rt.contains(k) for k in keys)
 
 
-odata_fields = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+# fields may collide with OPERATOR words (GE, eq, …) — the position-aware
+# translator must treat them as identifiers in field position (hypothesis-
+# found round 4). Only not/and/or are excluded: 'not' is reserved in field
+# position, and and/or field names would break this test's conjunction
+# counting (they remain valid engine inputs).
+odata_fields = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True).filter(
+    lambda f: f.lower() not in ("not", "and", "or")
+)
 odata_ops = st.sampled_from(["eq", "ne", "gt", "ge", "lt", "le"])
 odata_values = st.one_of(
     st.integers(-10**6, 10**6).map(str),

@@ -94,6 +94,15 @@ def test_odata_translation():
         == "NOT ( state = 'dead' ) OR depth <= 3"
     )
     assert Q.odata_filter_to_sql("name eq 'it''s'") == "name = 'it''s'"
+    # a field that spells an operator word is an identifier in field
+    # position (position-aware translation, hypothesis-found round 4)
+    assert Q.odata_filter_to_sql("GE eq 2") == "GE = 2"
+    assert Q.odata_filter_to_sql("eq ne 'x'") == "eq <> 'x'"
+    # truncated expressions raise instead of emitting a dangling predicate
+    with pytest.raises(ValueError):
+        Q.odata_filter_to_sql("depth eq")
+    with pytest.raises(ValueError):
+        Q.odata_filter_to_sql("( depth eq 1")
     with pytest.raises(ValueError):
         Q.odata_filter_to_sql("chunk_id eq 'x'; drop table frontier")
     with pytest.raises(ValueError):
