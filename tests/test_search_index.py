@@ -157,6 +157,31 @@ def test_query_reads_no_corpus_and_prunes_term_buckets(spark, store, tmp_path):
     assert len(files) < len(store.read(idx.postings).inputFiles())
 
 
+def test_many_small_updates_compact_and_stay_exact(spark, store):
+    """A long run of small merge-on-read update commits (past the
+    same-commit compaction threshold) keeps scores exact and the manifest's
+    file lists bounded."""
+    idx = TextSearchIndex(store, n_term_buckets=4, n_doc_buckets=4)
+    rows = []
+    for batch in range(8):
+        delta = [
+            (f"b{batch}_d{i}", f"spark merge batch{batch} doc{i} shuffle")
+            for i in range(6)
+        ]
+        rows += delta
+        idx.update(_corpus(spark, delta))
+    m = store._manifest(idx.postings)
+    assert max(len(ps) for ps in m["buckets"].values()) <= 5  # compaction bounded
+    corpus_now = _corpus(spark, rows)
+    for q in ("spark shuffle", "batch3 doc2"):
+        want = _scores(bm25_scores(corpus_now, q))
+        got = _scores(idx.bm25(q))
+        assert got.keys() == want.keys(), q
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (q, k)
+    assert store.summary(idx.docs)["dirty"] is False  # disjoint ids stay clean
+
+
 def test_crawl_round_maintains_index(spark, tmp_path):
     """After real crawl rounds, the incrementally-maintained index serves the
     same BM25 scores as a fresh scan of the chunks table."""
