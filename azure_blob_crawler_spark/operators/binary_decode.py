@@ -1,0 +1,198 @@
+"""Real binary document decoding — stdlib-only DOCX and (simple) PDF tiers.
+
+The reference decodes binary blobs with PyPDF2 / python-docx
+(shared/processing/file_extractor.py:118-204). Neither package ships in
+this container, but their *commonly exercised* subset needs no third-party
+code at all:
+
+- **DOCX** is a ZIP (``zipfile``) holding ``word/document.xml``; paragraph
+  text is the concatenation of ``w:t`` runs under each body-level ``w:p``
+  (exactly ``python-docx``'s ``Document.paragraphs[i].text`` for body
+  paragraphs — the surface file_extractor.py:163-171 iterates). Full
+  fidelity for the paragraph-text path.
+- **PDF**: a minimal content-stream text extractor for the dominant simple
+  case — per-object streams, uncompressed or ``/FlateDecode`` (``zlib``),
+  text shown via ``Tj`` / ``'`` / ``TJ`` with literal ``(…)`` or hex
+  ``<…>`` strings, newlines at line-advance operators (``Td TD T* '``).
+  DECLARED LIMITS (complex encodings are PyPDF2 territory): no CMap /
+  multi-byte font decoding, no xref-driven page tree — content streams are
+  treated as pages in document order, which holds for the
+  one-stream-per-page layout simple generators emit.
+
+Decoded page/paragraph text feeds the SAME span builders as the text tier
+(operators/extraction.py) so markers, blank-page skipping and ordering stay
+pinned by one set of tests; ``make_extract_spans_binary_udf`` is the
+Arrow-vectorized entry point for ``binaryFile``-sourced crawls.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import zlib
+from xml.etree import ElementTree
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from azure_blob_crawler_spark.operators.extraction import (
+    SPANS_TYPE,
+    _docx_spans,
+    _pdf_spans,
+    extract_spans_py,
+)
+
+_W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def docx_paragraphs(data: bytes) -> list[str]:
+    """Body-level paragraph texts of a .docx (python-docx parity: one entry
+    per ``w:p`` directly under ``w:body``; a paragraph's text is its
+    ``w:t`` runs concatenated, tabs/breaks as-is)."""
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        xml = zf.read("word/document.xml")
+    root = ElementTree.fromstring(xml)
+    body = root.find(f"{_W_NS}body")
+    if body is None:
+        return []
+    out = []
+    for child in body:
+        if child.tag == f"{_W_NS}p":
+            out.append("".join(t.text or "" for t in child.iter(f"{_W_NS}t")))
+    return out
+
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
+# one content-stream token at a time: literal string, hex string, or operator
+_PDF_TOKEN = re.compile(
+    rb"\((?:\\.|[^\\()])*\)"  # literal string with escapes
+    rb"|<[0-9A-Fa-f\s]*>"      # hex string
+    rb"|\[|\]"
+    rb"|[A-Za-z'\"*]+"         # operators
+    rb"|[-+.0-9]+"             # numbers
+)
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_literal(tok: bytes) -> str:
+    """Decode a PDF literal string token ``(…)`` (escapes + octal)."""
+    body = tok[1:-1]
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        c = body[i : i + 1]
+        if c == b"\\" and i + 1 < len(body):
+            nxt = body[i + 1 : i + 2]
+            if nxt.isdigit():
+                oct_digits = body[i + 1 : i + 4]
+                m = re.match(rb"[0-7]{1,3}", oct_digits)
+                out.append(int(m.group(0), 8) & 0xFF)
+                i += 1 + len(m.group(0))
+                continue
+            out += _ESCAPES.get(nxt, nxt)
+            i += 2
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def _pdf_hex(tok: bytes) -> str:
+    hx = re.sub(rb"\s", b"", tok[1:-1])
+    if len(hx) % 2:
+        hx += b"0"  # PDF spec: odd final digit is padded with 0
+    return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+
+
+def _stream_text(content: bytes) -> str:
+    """Shown text of one content stream: strings from Tj/'/TJ in order,
+    newline at line-advance operators."""
+    parts: list[str] = []
+    pending: list[str] = []  # strings seen since the last show op
+    for m in _PDF_TOKEN.finditer(content):
+        tok = m.group(0)
+        if tok.startswith(b"("):
+            pending.append(_pdf_literal(tok))
+        elif tok.startswith(b"<"):
+            pending.append(_pdf_hex(tok))
+        elif tok in (b"Tj", b"TJ", b"'", b'"'):
+            parts.extend(pending)
+            pending = []
+            if tok in (b"'", b'"'):  # show-with-line-advance
+                parts.append("\n")
+        elif tok in (b"Td", b"TD", b"T*"):
+            if parts and not parts[-1].endswith("\n"):
+                parts.append("\n")
+            pending = []
+        elif tok == b"ET":
+            pending = []
+    return "".join(parts)
+
+
+def pdf_page_texts(data: bytes) -> list[str]:
+    """Per-content-stream text of a simple PDF (streams in document order;
+    Flate or uncompressed). Streams that are not content (fonts, images,
+    xref streams) rarely produce text tokens and yield '' — dropped."""
+    pages = []
+    for dict_part, raw in _STREAM_RE.findall(data):
+        body = raw
+        # the regex is non-greedy: trailing EOL before 'endstream' may remain
+        if b"/FlateDecode" in dict_part:
+            try:
+                body = zlib.decompress(body.strip(b"\r\n"))
+            except zlib.error:
+                continue
+        elif b"/Filter" in dict_part:
+            continue  # unsupported filter (DCT, LZW, ...) — declared limit
+        text = _stream_text(body).strip()
+        if text:
+            pages.append(text)
+    return pages
+
+
+def looks_like_pdf(data: bytes) -> bool:
+    return data[:5] == b"%PDF-"
+
+
+def looks_like_docx(data: bytes) -> bool:
+    if data[:2] != b"PK":
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            return "word/document.xml" in zf.namelist()
+    except zipfile.BadZipFile:
+        return False
+
+
+def extract_spans_binary_py(name: str, data: bytes, size_bytes: int) -> list[dict]:
+    """Binary-aware span extraction: real PDF/DOCX decode when the bytes
+    carry the magic, else lossy-utf8 + the text tier (same fallback the
+    reference's decode path takes for unknown bytes)."""
+    data = data or b""
+    if looks_like_pdf(data):
+        # reuse the text tier's page-span builder via its \f wire format —
+        # markers, blank-page skipping and offsets stay single-sourced
+        return _pdf_spans("\f".join(pdf_page_texts(data)))
+    if looks_like_docx(data):
+        return _docx_spans("\n".join(docx_paragraphs(data)))
+    text = data.decode("utf-8", errors="replace")
+    return extract_spans_py(name, text, size_bytes)
+
+
+def make_extract_spans_binary_udf():
+    @F.pandas_udf(SPANS_TYPE)
+    def extract_spans_binary(
+        names: pd.Series, datas: pd.Series, sizes: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                extract_spans_binary_py(n or "", bytes(d) if d is not None else b"", int(s or 0))
+                for n, d, s in zip(names, datas, sizes)
+            ]
+        )
+
+    return extract_spans_binary

@@ -11,11 +11,14 @@ tuple (shared/processing/file_extractor.py:44-116):
 - docx/doc    → ``kind='section'`` spans, 20-paragraph windows (:155-204)
 - other       → one ``kind='media'`` placeholder span with media_ref (:103-106)
 
-Real PyPDF2/python-docx binary decoding is not available in this container;
-the engine's wire format for paged documents is plain text with ``\\f`` page
-breaks (pdf) / paragraph streams (docx). The span-building plumbing —
-markers, ordering, blank-page skipping, full-content concatenation — is the
-semantics the reference defines and what tests pin.
+This module's wire format for paged documents is plain text with ``\\f``
+page breaks (pdf) / paragraph streams (docx); REAL binary decoding lives in
+``operators/binary_decode.py`` (stdlib-only: full DOCX paragraph extraction
+via zipfile+ElementTree, simple-PDF content-stream text via zlib) and feeds
+the same span builders below, so markers, ordering, blank-page skipping and
+full-content concatenation are single-sourced and pinned by one test set.
+Complex PDF encodings (CMaps, multi-byte fonts) remain PyPDF2 territory —
+declared out of scope for this container.
 
 All heavy lifting is one Arrow-vectorized pandas UDF; span→pages/full_content
 reassembly is Catalyst-native (array_sort/transform/array_join).

@@ -1,0 +1,136 @@
+"""Real binary DOCX/PDF decoding (stdlib tiers) — fixtures built in-test,
+span output single-sourced through the text tier's builders."""
+
+import io
+import zipfile
+import zlib
+
+from pyspark.sql import functions as F
+
+from azure_blob_crawler_spark import config
+from azure_blob_crawler_spark.operators.binary_decode import (
+    docx_paragraphs,
+    extract_spans_binary_py,
+    looks_like_docx,
+    looks_like_pdf,
+    make_extract_spans_binary_udf,
+    pdf_page_texts,
+)
+
+_DOC_XML = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:p><w:r><w:t>Para one</w:t></w:r><w:r><w:t> continued</w:t></w:r></w:p>
+  <w:p><w:r><w:t>Para two</w:t></w:r></w:p>
+  <w:tbl><w:tr><w:tc><w:p><w:r><w:t>inside table</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+  <w:p><w:r><w:t>Para three</w:t></w:r></w:p>
+ </w:body>
+</w:document>"""
+
+
+def make_docx(xml: str = _DOC_XML, n_extra_paras: int = 0) -> bytes:
+    if n_extra_paras:
+        paras = "".join(
+            f"<w:p><w:r><w:t>Extra {i}</w:t></w:r></w:p>" for i in range(n_extra_paras)
+        )
+        xml = xml.replace("</w:body>", paras + "</w:body>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types '
+            'xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>',
+        )
+        zf.writestr("word/document.xml", xml)
+    return buf.getvalue()
+
+
+def make_pdf() -> bytes:
+    """Two content streams: one plain (literal + hex + escapes + line ops),
+    one FlateDecode-compressed."""
+    s1 = b"BT /F1 12 Tf 72 700 Td (Hello world) Tj T* <4279746573> Tj T* (Caf\\351 \\(ok\\)) Tj ET"
+    s2z = zlib.compress(b"BT (Page two) Tj ET")
+    parts = [b"%PDF-1.4\n"]
+    parts.append(
+        b"1 0 obj << /Length %d >> stream\n%s\nendstream endobj\n" % (len(s1), s1)
+    )
+    parts.append(
+        b"2 0 obj << /Length %d /Filter /FlateDecode >> stream\n%s\nendstream endobj\n"
+        % (len(s2z), s2z)
+    )
+    parts.append(b"%%EOF\n")
+    return b"".join(parts)
+
+
+def test_docx_paragraphs_body_level_only():
+    data = make_docx()
+    assert looks_like_docx(data) and not looks_like_pdf(data)
+    # run concatenation within a paragraph; table paragraphs excluded
+    assert docx_paragraphs(data) == ["Para one continued", "Para two", "Para three"]
+
+
+def test_docx_spans_section_windows():
+    # 3 body paras + 40 extra = 43 → sections of 20/20/3
+    data = make_docx(n_extra_paras=40)
+    spans = extract_spans_binary_py("f.docx", data, len(data))
+    assert [s["kind"] for s in spans] == ["section"] * 3
+    assert spans[0]["text"].startswith(f"{config.SECTION_PREFIX}1{config.PAGE_SUFFIX}")
+    assert spans[2]["text"].count("\n") == 3  # marker + 3 paragraphs
+
+
+def test_pdf_page_texts_plain_and_flate():
+    data = make_pdf()
+    assert looks_like_pdf(data)
+    pages = pdf_page_texts(data)
+    assert pages == ["Hello world\nBytes\nCafé (ok)", "Page two"]
+
+
+def test_pdf_spans_markers_and_order():
+    data = make_pdf()
+    spans = extract_spans_binary_py("f.pdf", data, len(data))
+    assert [s["kind"] for s in spans] == ["page", "page"]
+    assert spans[0]["text"].startswith(f"{config.PAGE_PREFIX}1{config.PAGE_SUFFIX}\n")
+    assert spans[1]["text"] == f"{config.PAGE_PREFIX}2{config.PAGE_SUFFIX}\nPage two"
+
+
+def test_binary_fallback_is_text_tier():
+    spans = extract_spans_binary_py("notes.txt", b"plain body", 10)
+    assert spans == [{"kind": "text", "text": "plain body", "media_ref": None, "offset": 0}]
+    # unknown binary → media placeholder, like the text tier
+    spans = extract_spans_binary_py("x.zip", b"PK\x03\x04junk", 10)
+    assert spans[0]["kind"] == "media"
+
+
+def test_binary_udf_matches_python_twin(spark):
+    rows = [
+        ("a.pdf", make_pdf()),
+        ("b.docx", make_docx()),
+        ("c.txt", b"hello"),
+    ]
+    df = spark.createDataFrame(
+        [(n, bytearray(d), len(d)) for n, d in rows],
+        "name string, data binary, size long",
+    )
+    udf = make_extract_spans_binary_udf()
+    got = {
+        r["name"]: [row.asDict() for row in r["spans"]]
+        for r in df.select("name", udf("name", "data", "size").alias("spans")).collect()
+    }
+    for n, d in rows:
+        assert got[n] == extract_spans_binary_py(n, d, len(d)), n
+
+
+def test_binary_spans_feed_reassembly(spark):
+    """Decoded spans flow through the Catalyst-native pages/full_content
+    reassembly exactly like text-tier spans."""
+    from azure_blob_crawler_spark.operators.extraction import with_extraction
+
+    udf = make_extract_spans_binary_udf()
+    data = make_pdf()
+    df = spark.createDataFrame(
+        [("a.pdf", bytearray(data), len(data))], "name string, data binary, size long"
+    ).withColumn("spans", udf("name", "data", "size"))
+    row = with_extraction(df).collect()[0]
+    assert row["use_pages"] is True
+    assert len(row["pages"]) == 2
+    assert "Page two" in row["full_content"] and "Hello world" in row["full_content"]
