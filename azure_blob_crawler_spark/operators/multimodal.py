@@ -7,11 +7,18 @@ engine keeps the bytes as a first-class column and provides the Spark-side
 plumbing — schema, Arrow batch shape, mapInPandas signatures, partitioning —
 for decode / feature-extract / resize / frame-sample stages.
 
-The actual codecs (Pillow / ffmpeg / torchaudio) are NOT in this container:
-``decode_media`` raises NotImplementedError unless a codec module is
-importable, and ``fake_feature_extractor`` provides the deterministic
-stand-in (hash-of-bytes feature vector) that the tests and pipelines use.
-The UDF signatures and schemas are the real, tested contract.
+Codec tiers:
+
+- ``decode_media_stdlib`` — REAL decoding for the formats the standard
+  library covers: WAV audio (``wave``: sample rate, channels, duration,
+  RMS loudness over a mono downmix) and binary PPM/PGM images (header +
+  pixel parse, true nearest-neighbor resize to a thumbnail feature grid).
+  Formats needing Pillow/ffmpeg come back ``ok = false`` with a reason —
+  the DataFrame-native analog of the stub's NotImplementedError.
+- ``decode_media`` — the hard-stub entry: raises NotImplementedError unless
+  a codec module is importable (Pillow / ffmpeg are not in this container).
+- ``fake_feature_extractor`` — deterministic hash-of-bytes stand-in
+  preserving the exact Arrow batch shape a real encoder UDF would use.
 """
 
 from __future__ import annotations
@@ -81,6 +88,136 @@ def synth_media_df(spark, docs: DataFrame) -> DataFrame:
         .select(F.col("s.media_ref").alias("media_ref"), "doc_id")
     )
     return spans_media.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_ppm_py(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) → uint8 array (h, w[, 3]).
+
+    Header = magic, width, height, maxval as whitespace-separated tokens
+    with ``#`` comments, then one whitespace byte and raw samples
+    (maxval ≤ 255 supported — the common 8-bit case)."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM")
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(data):
+        c = data[i : i + 1]
+        if c == b"#":
+            i = data.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(data) and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(data[i:j])
+            i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    i += 1  # single whitespace after maxval
+    ch = 3 if data[:2] == b"P6" else 1
+    pix = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=i)
+    img = pix.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """True nearest-neighbor resize (pure numpy index maps)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+def decode_wav_py(data: bytes) -> dict:
+    """WAV via the stdlib ``wave`` module: params + RMS loudness of the
+    mono-downmixed PCM (8/16/32-bit)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data)) as wf:
+        n_ch, sampwidth, rate, n_frames = (
+            wf.getnchannels(), wf.getsampwidth(), wf.getframerate(), wf.getnframes(),
+        )
+        raw = wf.readframes(n_frames)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width: {sampwidth}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sampwidth == 1:
+        x -= 128.0  # 8-bit WAV is unsigned
+    x /= float(2 ** (8 * sampwidth - 1))
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "duration_ms": int(n_frames * 1000 / rate) if rate else 0,
+        "rms": rms,
+    }
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("ok", StringType()),       # 'ok' | reason the decode skipped
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("rms", FloatType()),
+        StructField("thumb", ArrayType(FloatType())),  # resized gray grid, row-major
+    ]
+)
+
+
+def decode_media_stdlib(media: DataFrame, thumb: int = 8) -> DataFrame:
+    """Real decode stage for stdlib-coverable formats (see module
+    docstring); one Arrow batch per ``mapInPandas`` call, same contract a
+    Pillow/ffmpeg-backed decoder would run under. Rows whose bytes need an
+    external codec come back with ``ok`` carrying the reason."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DECODED_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for ref, did, b in zip(pdf["media_ref"], pdf["doc_id"], pdf["bytes"]):
+                data = bytes(b) if b is not None else b""
+                row = dict.fromkeys(cols)
+                row.update(media_ref=ref, doc_id=did)
+                try:
+                    if data[:2] in (b"P5", b"P6"):
+                        img = decode_ppm_py(data)
+                        gray = img if img.ndim == 2 else img.mean(axis=2)
+                        t = resize_nearest(gray, thumb, thumb)
+                        row.update(
+                            kind="image", ok="ok",
+                            width=int(img.shape[1]), height=int(img.shape[0]),
+                            thumb=(t.astype(np.float32) / 255.0).ravel().tolist(),
+                        )
+                    elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                        meta = decode_wav_py(data)
+                        row.update(
+                            kind="audio", ok="ok",
+                            duration_ms=meta["duration_ms"],
+                            sample_rate=meta["sample_rate"],
+                            rms=np.float32(meta["rms"]),
+                        )
+                    else:
+                        row.update(
+                            kind="unknown",
+                            ok="codec-not-available (needs Pillow/ffmpeg)",
+                        )
+                except Exception as e:  # torn file → per-row failure, not task death
+                    row.update(kind="unknown", ok=f"decode-error: {e}")
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
 
 
 def decode_media(media: DataFrame) -> DataFrame:

@@ -91,3 +91,72 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     ]
     plan = from_index._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def _make_ppm(w, h):
+    """Deterministic P6 gradient image + its numpy ground truth."""
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = (np.arange(w)[None, :] * 255 // max(w - 1, 1)).astype(np.uint8)
+    img[:, :, 1] = (np.arange(h)[:, None] * 255 // max(h - 1, 1)).astype(np.uint8)
+    img[:, :, 2] = 7
+    header = f"P6\n# gradient\n{w} {h}\n255\n".encode()
+    return header + img.tobytes(), img
+
+
+def _make_wav(rate=8000, freq=440.0, seconds=0.5, n_ch=2):
+    import io
+    import wave
+
+    t = np.arange(int(rate * seconds)) / rate
+    x = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype(np.int16)
+    frames = np.repeat(x, n_ch).tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_ch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_ppm_and_resize_exact():
+    data, img = _make_ppm(20, 12)
+    got = MM.decode_ppm_py(data)
+    assert np.array_equal(got, img)
+    small = MM.resize_nearest(img[:, :, 0], 4, 4)
+    rows = (np.arange(4) * 12 // 4)
+    cols = (np.arange(4) * 20 // 4)
+    assert np.array_equal(small, img[:, :, 0][rows][:, cols])
+
+
+def test_decode_wav_params_and_rms():
+    data = _make_wav()
+    meta = MM.decode_wav_py(data)
+    assert meta["sample_rate"] == 8000 and meta["n_channels"] == 2
+    assert meta["duration_ms"] == 500
+    # RMS of a 0.5-amplitude sine ≈ 0.5/√2
+    assert abs(meta["rms"] - 0.5 / np.sqrt(2)) < 0.01
+
+
+def test_decode_media_stdlib_dataframe(spark):
+    """Real decode through the mapInPandas contract: PPM and WAV rows decode
+    genuinely; codec-needing bytes come back with the reason, not an error."""
+    ppm, img = _make_ppm(16, 16)
+    wav = _make_wav(seconds=0.25, n_ch=1)
+    rows = [
+        ("img1", "d1", bytearray(ppm)),
+        ("aud1", "d2", bytearray(wav)),
+        ("jpg1", "d3", bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),
+        ("torn", "d4", bytearray(b"P6\n4 4\n255\n\x00")),  # truncated pixels
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, doc_id string, bytes binary")
+    got = {r["media_ref"]: r for r in MM.decode_media_stdlib(df, thumb=4).collect()}
+    assert got["img1"]["ok"] == "ok" and got["img1"]["kind"] == "image"
+    assert (got["img1"]["width"], got["img1"]["height"]) == (16, 16)
+    gray = img.mean(axis=2)
+    want_thumb = (MM.resize_nearest(gray, 4, 4).astype(np.float32) / 255.0).ravel()
+    assert np.allclose(got["img1"]["thumb"], want_thumb, atol=1e-6)
+    assert got["aud1"]["ok"] == "ok" and got["aud1"]["kind"] == "audio"
+    assert got["aud1"]["duration_ms"] == 250 and got["aud1"]["sample_rate"] == 8000
+    assert got["jpg1"]["ok"].startswith("codec-not-available")
+    assert got["torn"]["ok"].startswith("decode-error")
