@@ -15,8 +15,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 
-from pyspark.sql import SparkSession
+# direct `python tools/crawl_job.py` runs resolve the package from the repo
+# root; under spark-submit --py-files the zip is already on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
 
 
 def main() -> None:
