@@ -37,7 +37,7 @@ from azure_blob_crawler_spark.operators.extraction import (
     pages_of,
 )
 from azure_blob_crawler_spark.operators.linkextract import extract_links
-from azure_blob_crawler_spark.operators.scheduler import claim_round
+from azure_blob_crawler_spark.operators.scheduler import claim_round, hot_host_widths
 from azure_blob_crawler_spark.operators.sequence import assign_global_seq
 from azure_blob_crawler_spark.operators.seen import (
     cuckoo_insert,
@@ -104,6 +104,15 @@ class CrawlRunner:
         self._extract = make_extract_spans_udf()
         self._chunk = make_chunk_doc_udf()
         self._embed = make_embed_udf(embed_dim)
+        # cached per-host salt widths for the claim (round-4 verdict: the
+        # O(pending) width derivation must not run per round). None →
+        # derive on next claim; afterwards reused until pending-set drift
+        # (new links + recovered redeliveries) exceeds half the per-task
+        # target, so a host can overshoot its width's assumption by at most
+        # ~0.5×CLAIM_SALT_TARGET_ROWS before a recount. Staleness never
+        # changes the claim set (width invariance, test_salt_width_invariance).
+        self._hot_widths: list[tuple[str, int]] | None = None
+        self._widths_drift = 0
 
     # --- bootstrap -----------------------------------------------------------
 
@@ -166,6 +175,7 @@ class CrawlRunner:
             )
             alive = reset.filter(F.col("attempts") < config.MAX_ATTEMPTS)
             self.store.merge(FRONTIER, alive.unionByName(dead), summary={"recovered": n})
+            self._widths_drift += n  # redeliveries grow the pending set
         return n
 
     # --- one BSP round ---------------------------------------------------------
@@ -194,8 +204,15 @@ class CrawlRunner:
         rnd = int(prev.get("round", 0)) + 1
         next_seq = int(prev.get("next_seq", 0))
 
+        if (
+            self._hot_widths is None
+            or self._widths_drift * 2 > config.CLAIM_SALT_TARGET_ROWS
+        ):
+            self._hot_widths = hot_host_widths(frontier)
+            self._widths_drift = 0
         claimed = claim_round(
-            frontier, robots, self.round_size, self.round_seconds, self.default_delay
+            frontier, robots, self.round_size, self.round_seconds, self.default_delay,
+            hot_hosts=self._hot_widths,
         ).persist()
         n_claimed = claimed.count()
         if n_claimed == 0:
@@ -404,6 +421,9 @@ class CrawlRunner:
         docs.unpersist()
         fresh.unpersist()
         frontier.unpersist()
+        # drift for the width cache: new pending rows this round (failed
+        # redeliveries also return to pending — count them too)
+        self._widths_drift += n_new + n_failed
         return {**summary, "done": False}
 
     def _filter_unseen(self, candidates: DataFrame, frontier: DataFrame) -> DataFrame:

