@@ -10,10 +10,13 @@ the same MERGE machinery as every other engine table —
   (term, chunk_id), **bucketed by term alone** so a query's term list prunes
   the scan to its terms' buckets (SnapshotStore ``bucket_by``); ``tf`` for a
   re-indexed chunk is replaced by the newest-generation-wins MERGE;
-- ``<prefix>_docs`` — (chunk_id, doc_len, gen), MERGE key chunk_id — the
-  authoritative per-chunk generation. Corpus statistics (n_docs, sum_len)
-  plus a ``dirty`` flag ride this table's snapshot summary, maintained
-  arithmetically from the delta — reading them costs zero Spark jobs.
+- ``<prefix>_docs`` — (chunk_id, doc_len, gen, tb_mask), MERGE key
+  chunk_id — the authoritative per-chunk generation; ``tb_mask`` is the
+  bitmask of postings buckets the chunk's terms hash into (≤64 term
+  buckets → one long). Corpus statistics (n_docs, sum_len) plus a
+  ``dirty`` flag and the dirty postings-bucket set ride this table's
+  snapshot summary, maintained arithmetically from the delta — reading
+  them costs zero Spark jobs.
 
 Staleness: a re-crawled chunk's VANISHED terms keep postings rows at the
 old gen; a deleted chunk keeps all its postings. While the index is CLEAN
@@ -22,7 +25,11 @@ processed once, so this is the steady state) no stale row can exist and a
 query is just the term-pruned postings scan. The first replacing update or
 delete flips ``dirty``; queries then add an inner join against the docs
 rows of the candidates' buckets on (chunk_id, gen), which drops every stale
-posting exactly.
+posting exactly. Each such commit also ORs the replaced/deleted docs'
+``tb_mask`` into the summary's ``dirty_pb`` set — the only postings
+buckets that can hold stale rows — so ``vacuum()`` can purge them
+bucket-locally and restore one-job serving WITHOUT ``rebuild()``'s
+full-corpus input (round-4 verdict item 3).
 
 Query cost at 100 TB: ∝ postings of the query's terms (bucket-pruned scan),
 plus — only when dirty — a join against the candidate chunks' doc rows.
@@ -83,7 +90,8 @@ class TextSearchIndex:
             _tokens(F.col(content_col)).alias("__ts"),
         )
         doc_rows = toks.select(
-            "chunk_id", F.size("__ts").alias("doc_len"), F.lit(gen).alias("gen")
+            "chunk_id", F.size("__ts").alias("doc_len"), F.lit(gen).alias("gen"),
+            self._tb_mask_expr().alias("tb_mask"),
         ).persist()
         delta_n, delta_sum = self._agg_len(doc_rows)
 
@@ -108,21 +116,26 @@ class TextSearchIndex:
             doc_rows.unpersist()
             return self.store.summary(self.docs)
 
-        # replaced chunks' old lengths, via a bucket-pruned docs read (∝ delta)
-        old_n, old_sum = 0, 0
+        # replaced chunks' old lengths + term-bucket masks, via a
+        # bucket-pruned docs read (∝ delta)
+        old_n, old_sum, old_mask = 0, 0, 0
         touched = self._bucket_ids(doc_rows, self.docs)
         old = self.store.read_buckets(self.docs, touched)
         if old is not None:
             old_rows = old.join(doc_rows.select("chunk_id"), "chunk_id", "leftsemi")
-            old_n, old_sum = self._agg_len(old_rows)
+            old_n, old_sum, old_mask = self._agg_len_mask(old_rows)
 
         summary = {
             "gen": gen,
             "n_docs": int(prev.get("n_docs", 0)) - old_n + delta_n,
             "sum_len": int(prev.get("sum_len", 0)) - old_sum + delta_sum,
             # a replacing update can strand old-gen postings (vanished
-            # terms) — from here on queries must gen-validate
+            # terms) — from here on queries must gen-validate; the stale
+            # rows can live only in the replaced docs' term buckets
             "dirty": bool(prev.get("dirty", False)) or old_n > 0,
+            "dirty_pb": self._accumulate_dirty_pb(
+                prev, old_mask if old_n > 0 else 0
+            ),
         }
         self.store.merge(self.postings, post_rows)
         out = self.store.merge(self.docs, doc_rows, summary=summary)
@@ -145,7 +158,8 @@ class TextSearchIndex:
             _tokens(F.col(content_col)).alias("__ts"),
         )
         doc_rows = toks.select(
-            "chunk_id", F.size("__ts").alias("doc_len"), F.lit(gen).alias("gen")
+            "chunk_id", F.size("__ts").alias("doc_len"), F.lit(gen).alias("gen"),
+            self._tb_mask_expr().alias("tb_mask"),
         ).persist()
         n, s = self._agg_len(doc_rows)
         post_rows = (
@@ -155,7 +169,8 @@ class TextSearchIndex:
             .withColumn("gen", F.lit(gen))
             .select("term", "chunk_id", "tf", "doc_len", "gen")
         )
-        summary = {"gen": gen, "n_docs": n, "sum_len": s, "dirty": False}
+        summary = {"gen": gen, "n_docs": n, "sum_len": s, "dirty": False,
+                   "dirty_pb": []}
         self.store.create(
             self.docs, doc_rows, key="chunk_id", n_buckets=self.n_doc_buckets,
             summary=summary,
@@ -170,6 +185,45 @@ class TextSearchIndex:
     def _next_gen_for_rebuild(self) -> int:
         return int(self._summary().get("gen", 0)) + 1
 
+    def vacuum(self) -> dict:
+        """Bucket-local de-staling: purge postings whose (chunk_id, gen) no
+        longer matches a live docs row, restricted to the postings buckets
+        that can actually hold stale rows — the accumulated ``dirty_pb``
+        set (each replace/delete ORs the victims' ``tb_mask`` in), then
+        clear ``dirty``. Restores one-job serving WITHOUT ``rebuild()``'s
+        full-corpus input: reads dirty postings buckets + the candidates'
+        doc buckets only, never a chunk's text. The engine twin of the
+        background index maintenance Azure Search users never see
+        (round-4 verdict item 3)."""
+        prev = self._summary()
+        if not prev.get("dirty", False):
+            return prev
+        nb = self.store._manifest(self.postings)["n_buckets"]
+        dirty_pb = sorted({int(b) for b in prev.get("dirty_pb", [])}) or list(range(nb))
+        cur = self.store.read_buckets(self.postings, dirty_pb)
+        if cur is not None:
+            cur = cur.persist()
+            d_buckets = self._bucket_ids(cur, self.docs)
+            ds = self.store.read_buckets(self.docs, d_buckets)
+            valid = (
+                cur.join(ds.select("chunk_id", "gen"), ["chunk_id", "gen"], "leftsemi")
+                if ds is not None
+                else cur.limit(0)
+            )
+            self.store.rewrite_buckets(
+                self.postings, dirty_pb, valid, summary={"vacuumed": dirty_pb}
+            )
+            cur.unpersist()
+        out = {
+            "gen": int(prev.get("gen", 0)),
+            "n_docs": int(prev.get("n_docs", 0)),
+            "sum_len": int(prev.get("sum_len", 0)),
+            "dirty": False,
+            "dirty_pb": [],
+        }
+        self.store.set_summary(self.docs, out)
+        return out
+
     def delete(self, chunk_ids: DataFrame, id_col: str = "chunk_id") -> dict:
         """Remove chunks from the index. Postings rows are NOT touched —
         without a current-gen docs row they fail the validity join at query
@@ -179,15 +233,18 @@ class TextSearchIndex:
         victims = chunk_ids.select(F.col(id_col).alias("chunk_id")).persist()
         touched = self._bucket_ids(victims, self.docs)
         old = self.store.read_buckets(self.docs, touched)
-        dead_n, dead_sum = 0, 0
+        dead_n, dead_sum, dead_mask = 0, 0, 0
         if old is not None:
             dead = old.join(victims, "chunk_id", "leftsemi")
-            dead_n, dead_sum = self._agg_len(dead)
+            dead_n, dead_sum, dead_mask = self._agg_len_mask(dead)
         summary = {
             "gen": int(prev.get("gen", 0)) + 1,
             "n_docs": int(prev.get("n_docs", 0)) - dead_n,
             "sum_len": int(prev.get("sum_len", 0)) - dead_sum,
             "dirty": bool(prev.get("dirty", False)) or dead_n > 0,
+            "dirty_pb": self._accumulate_dirty_pb(
+                prev, dead_mask if dead_n > 0 else 0
+            ),
         }
         out = self.store.merge(self.docs, victims, delete=True, summary=summary)
         victims.unpersist()
@@ -277,6 +334,47 @@ class TextSearchIndex:
             F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("s")
         ).collect()[0]
         return int(r["n"]), int(r["s"])
+
+    def _tb_mask_expr(self):
+        """Bitmask (one long) of the postings buckets a doc's token array
+        hashes into — same bucket transform as the store's (pmod ∘
+        xxhash64). With more than 64 term buckets a single long can't
+        cover the space: -1 marks 'any bucket', degrading vacuum() to a
+        full-postings (still corpus-free) pass."""
+        if self.n_term_buckets > 64:
+            return F.lit(-1).cast("long")
+        return F.expr(
+            "aggregate(transform(__ts, t -> shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(xxhash64(t), {self.n_term_buckets}) AS INT))), "
+            "CAST(0 AS BIGINT), (a, x) -> a | x)"
+        )
+
+    def _accumulate_dirty_pb(self, prev: dict, mask: int) -> list[int]:
+        """prev summary's dirty postings-bucket set ∪ the buckets in
+        ``mask`` (bit_or of replaced/deleted docs' tb_mask)."""
+        nb = self.store._manifest(self.postings)["n_buckets"]
+        pb = {int(b) for b in prev.get("dirty_pb", [])}
+        if mask:
+            if mask == -1 or nb > 64:
+                pb |= set(range(nb))
+            else:
+                u = mask & ((1 << 64) - 1)
+                pb |= {i for i in range(min(nb, 64)) if (u >> i) & 1}
+        return sorted(pb)
+
+    def _agg_len_mask(self, doc_rows: DataFrame) -> tuple[int, int, int]:
+        """(count, sum(doc_len), bit_or(tb_mask)) in one job; rows from an
+        index created before tb_mask existed count as 'any bucket' (-1)."""
+        mask_col = (
+            F.bit_or("tb_mask") if "tb_mask" in doc_rows.columns
+            else F.lit(-1).cast("long")
+        )
+        r = doc_rows.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("doc_len"), F.lit(0)).alias("s"),
+            F.coalesce(mask_col, F.lit(0)).alias("m"),
+        ).collect()[0]
+        return int(r["n"]), int(r["s"]), int(r["m"])
 
     def _bucket_ids(self, keyed: DataFrame, table: str) -> list[int]:
         """Distinct store-bucket ids of ``keyed`` rows — partial-aggregated

@@ -405,6 +405,51 @@ class SnapshotStore:
         finally:
             up.unpersist()
 
+    def rewrite_buckets(
+        self, name: str, buckets, df: DataFrame, summary: dict | None = None
+    ) -> dict:
+        """Replace the listed buckets' file lists with a fresh
+        single-file-per-bucket write of ``df`` — the caller supplies those
+        buckets' full post-rewrite content (e.g. a vacuum's valid-rows
+        filter; Iceberg ``rewrite_data_files`` with a predicate). A listed
+        bucket absent from the new write (every row purged) becomes empty;
+        unlisted buckets keep their current files untouched."""
+        m = self._manifest(name)
+        bucket_cols, n_buckets = self._bucket_cols_of(m), m["n_buckets"]
+        version = self.current_version(name) + 1
+        tagged = df.withColumn("__bucket", self._bucket_col(bucket_cols, n_buckets))
+        rel = self._write_buckets(name, tagged, version, suffix="-rewrite")
+        base = os.path.join(self._tdir(name), rel)
+        new_buckets = {b: list(ps) for b, ps in m["buckets"].items()}
+        for b in buckets:
+            new_buckets.pop(str(b), None)
+        for b, d in self._existing_bucket_dirs(base).items():
+            new_buckets[b] = [os.path.join(rel, d)]
+        commit_summary = dict(
+            summary or {}, rewritten_buckets=sorted(int(b) for b in buckets)
+        )
+        self._commit(
+            name,
+            {
+                "version": version,
+                "key": m["key"],
+                "n_buckets": n_buckets,
+                "bucket_by": bucket_cols,
+                "buckets": new_buckets,
+                "summary": commit_summary,
+            },
+        )
+        return commit_summary
+
+    def set_summary(self, name: str, summary: dict) -> dict:
+        """Metadata-only commit: a new manifest version carrying the same
+        data file lists with a replaced summary (e.g. an index clearing its
+        ``dirty`` flag after a vacuum). No Spark job."""
+        m = self._manifest(name)
+        self._commit(name, {**m, "version": self.current_version(name) + 1,
+                            "summary": dict(summary)})
+        return dict(summary)
+
     def compact(self, name: str, summary: dict | None = None) -> dict:
         """Explicit full compaction: rewrite every multi-file bucket as one
         reconciled file (Iceberg ``rewrite_data_files`` parity)."""

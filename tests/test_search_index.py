@@ -182,6 +182,74 @@ def test_many_small_updates_compact_and_stay_exact(spark, store):
     assert store.summary(idx.docs)["dirty"] is False  # disjoint ids stay clean
 
 
+def test_vacuum_restores_one_job_serving(spark, store, tmp_path):
+    """A long update/delete history dirties the index; vacuum() purges the
+    stale postings bucket-locally — WITHOUT the chunk corpus (files deleted
+    first) — clears dirty, leaves clean buckets' files untouched, and
+    subsequent queries serve from postings files alone (no gen-validity
+    join, no docs read) with scan-tier-exact scores."""
+    corpus_dir = str(tmp_path / "corpus")
+    _corpus(spark).write.parquet(corpus_dir)
+    idx = TextSearchIndex(store, n_term_buckets=8, n_doc_buckets=8)
+    idx.update(spark.read.parquet(corpus_dir))
+
+    # long history: two replacing re-crawl batches + a delete batch
+    state = {cid: txt for cid, txt in DOCS}
+    for delta in (
+        [("d00", "spark zebra"), ("d03", "rank rank rank")],
+        [("d00", "quokka merge"), ("d07", "frontier crawl")],
+    ):
+        idx.update(_corpus(spark, delta))
+        state.update(dict(delta))
+    idx.delete(spark.createDataFrame([("d06",), ("d09",)], "chunk_id string"))
+    for cid in ("d06", "d09"):
+        state.pop(cid)
+    summ = store.summary(idx.docs)
+    assert summ["dirty"] is True and summ["dirty_pb"], summ
+    assert set(summ["dirty_pb"]) < set(range(8)), "mask tracked a strict subset"
+    pre_manifest = store._manifest(idx.postings)["buckets"]
+    want = {
+        q: _scores(bm25_scores(_corpus(spark, list(state.items())), q))
+        for q in ("join spark", "zebra quokka", "merge shuffle", "quick fox")
+    }
+
+    shutil.rmtree(corpus_dir)  # vacuum must not need the corpus
+    out = idx.vacuum()
+    assert out["dirty"] is False and out["dirty_pb"] == []
+    assert store.summary(idx.docs)["dirty"] is False
+
+    # clean buckets' file lists untouched; only dirty_pb buckets rewritten
+    post_manifest = store._manifest(idx.postings)["buckets"]
+    for b, ps in pre_manifest.items():
+        if int(b) not in summ["dirty_pb"]:
+            assert post_manifest.get(b) == ps, b
+    # no physically stale posting remains: every (chunk_id, gen) is live
+    live = store.read(idx.docs).select("chunk_id", "gen")
+    stale = store.read(idx.postings).join(live, ["chunk_id", "gen"], "left_anti")
+    assert stale.count() == 0
+
+    for q, w in want.items():
+        result = idx.bm25(q)
+        # one-job clean serving: the plan reads postings files only
+        for f in result.inputFiles():
+            assert idx.postings in f and idx.docs not in f, f
+        got = _scores(result)
+        assert got.keys() == w.keys(), q
+        for k in w:
+            assert abs(got[k] - w[k]) < 1e-9, (q, k)
+
+    # a vacuumed index keeps evolving correctly: another replacing update
+    # re-dirties, and scores stay exact through it
+    idx.update(_corpus(spark, [("d01", "vacuumed again")]))
+    state["d01"] = "vacuumed again"
+    assert store.summary(idx.docs)["dirty"] is True
+    w = _scores(bm25_scores(_corpus(spark, list(state.items())), "vacuumed merge"))
+    got = _scores(idx.bm25("vacuumed merge"))
+    assert got.keys() == w.keys()
+    for k in w:
+        assert abs(got[k] - w[k]) < 1e-9, k
+
+
 def test_crawl_round_maintains_index(spark, tmp_path):
     """After real crawl rounds, the incrementally-maintained index serves the
     same BM25 scores as a fresh scan of the chunks table."""
