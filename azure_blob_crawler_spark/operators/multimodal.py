@@ -11,10 +11,14 @@ Codec tiers:
 
 - ``decode_media_stdlib`` — REAL decoding for the formats the standard
   library covers: WAV audio (``wave``: sample rate, channels, duration,
-  RMS loudness over a mono downmix) and binary PPM/PGM images (header +
-  pixel parse, true nearest-neighbor resize to a thumbnail feature grid).
-  Formats needing Pillow/ffmpeg come back ``ok = false`` with a reason —
-  the DataFrame-native analog of the stub's NotImplementedError.
+  RMS loudness over a mono downmix), binary PPM/PGM images (header +
+  pixel parse), PNG (zlib-inflated IDAT + per-scanline unfilter, types
+  0-4, 8-bit non-interlaced gray/gray+alpha/RGB/RGBA/palette) and GIF
+  (LZW decompress of the first frame + palette lookup) — each resized
+  true-nearest-neighbor to a thumbnail feature grid. Formats needing
+  Pillow/ffmpeg (JPEG, MP3, MP4…) come back ``ok = false`` with a
+  reason — the DataFrame-native analog of the stub's
+  NotImplementedError.
 - ``decode_media`` — the hard-stub entry: raises NotImplementedError unless
   a codec module is importable (Pillow / ffmpeg are not in this container).
 - ``fake_feature_extractor`` — deterministic hash-of-bytes stand-in
@@ -122,6 +126,187 @@ def decode_ppm_py(data: bytes) -> np.ndarray:
     return img[:, :, 0] if ch == 1 else img
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_py(data: bytes) -> np.ndarray:
+    """PNG → uint8 array (h, w[, channels]) using only zlib + numpy.
+
+    Supports the baseline still-image profile: 8-bit samples,
+    non-interlaced, color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/
+    Average/Paeth) are unfiltered per the spec. 16-bit, interlace and
+    ancillary transforms (gAMA etc.) raise — those rows surface as
+    per-row ``decode-error`` results, never task death."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    ihdr, idat, plte = None, [], None
+    i = 8
+    while i + 8 <= len(data):
+        ln = int.from_bytes(data[i : i + 4], "big")
+        typ = data[i + 4 : i + 8]
+        chunk = data[i + 8 : i + 8 + ln]
+        i += 12 + ln
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h = int.from_bytes(ihdr[0:4], "big"), int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise ValueError(f"bit depth {depth} unsupported (8 only)")
+    if interlace:
+        raise ValueError("interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"color type {ctype} unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("decompressed IDAT length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, cur = int(rows[y, 0]), rows[y, 1:]
+        if f == 0:
+            rec = cur.copy()
+        elif f == 1:  # Sub: + left — mod-256 prefix sum per byte lane
+            rec = np.add.accumulate(
+                cur.reshape(w, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up (uint8 arithmetic wraps mod 256)
+            rec = cur + prev
+        elif f == 3:  # Average: left-dependent → per-pixel walk
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad scanline filter {f}")
+        out[y] = rec
+        prev = rec
+    img = out.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[img[:, :, 0]]
+    return img[:, :, 0] if channels == 1 else img
+
+
+def _lzw_decode_gif(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW: LSB-first variable-width codes (up to 12 bits),
+    CLEAR resets the dictionary, END stops."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, nbits = 0, len(data) * 8
+    while bitpos + code_size <= nbits:
+        code = 0
+        for k in range(code_size):
+            code |= ((data[(bitpos + k) >> 3] >> ((bitpos + k) & 7)) & 1) << k
+        bitpos += code_size
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            code_size, next_code, prev = min_code_size + 1, end + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        elif code == next_code:  # the KwKwK case
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > {next_code}")
+        out += entry
+        prev = entry
+        if next_code >= (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def decode_gif_py(data: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → uint8 RGB array (h, w, 3): logical-screen
+    + color-table parse, extension-block skip, LZW decompress, palette
+    lookup. Interlaced frames raise (surfaced per-row)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    gw = int.from_bytes(data[6:8], "little")
+    gh = int.from_bytes(data[8:10], "little")
+    packed = data[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=i).reshape(n, 3)
+        i += 3 * n
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:  # extension: label then sub-blocks until a 0 length
+            i += 2
+            while data[i]:
+                i += data[i] + 1
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(data[i + 5 : i + 7], "little")
+            h = int.from_bytes(data[i + 7 : i + 9], "little")
+            ipacked = data[i + 9]
+            i += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 ** ((ipacked & 0x07) + 1)
+                pal = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=i).reshape(n, 3)
+                i += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = data[i]
+            i += 1
+            lzw = bytearray()
+            while data[i]:
+                ln = data[i]
+                lzw += data[i + 1 : i + 1 + ln]
+                i += ln + 1
+            i += 1
+            idx = np.frombuffer(
+                _lzw_decode_gif(min_code, bytes(lzw)), dtype=np.uint8, count=w * h
+            )
+            return pal[idx.reshape(h, w)]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError(f"no image frame in GIF ({gw}x{gh} screen)")
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """True nearest-neighbor resize (pure numpy index maps)."""
     h, w = img.shape[:2]
@@ -181,8 +366,20 @@ def decode_media_stdlib(media: DataFrame, thumb: int = 8) -> DataFrame:
     Pillow/ffmpeg-backed decoder would run under. Rows whose bytes need an
     external codec come back with ``ok`` carrying the reason."""
 
+    def gray_of(img: np.ndarray) -> np.ndarray:
+        if img.ndim == 2:
+            return img.astype(np.float64)
+        if img.shape[2] == 2:  # gray + alpha
+            return img[:, :, 0].astype(np.float64)
+        return img[:, :, :3].mean(axis=2)  # RGB / RGBA (alpha excluded)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in DECODED_SCHEMA.fields]
+        image_decoders = (
+            (lambda d: d[:2] in (b"P5", b"P6"), decode_ppm_py),
+            (lambda d: d[:8] == PNG_SIG, decode_png_py),
+            (lambda d: d[:6] in (b"GIF87a", b"GIF89a"), decode_gif_py),
+        )
         for pdf in batches:
             rows = []
             for ref, did, b in zip(pdf["media_ref"], pdf["doc_id"], pdf["bytes"]):
@@ -190,10 +387,12 @@ def decode_media_stdlib(media: DataFrame, thumb: int = 8) -> DataFrame:
                 row = dict.fromkeys(cols)
                 row.update(media_ref=ref, doc_id=did)
                 try:
-                    if data[:2] in (b"P5", b"P6"):
-                        img = decode_ppm_py(data)
-                        gray = img if img.ndim == 2 else img.mean(axis=2)
-                        t = resize_nearest(gray, thumb, thumb)
+                    decoder = next(
+                        (fn for match, fn in image_decoders if match(data)), None
+                    )
+                    if decoder is not None:
+                        img = decoder(data)
+                        t = resize_nearest(gray_of(img), thumb, thumb)
                         row.update(
                             kind="image", ok="ok",
                             width=int(img.shape[1]), height=int(img.shape[0]),

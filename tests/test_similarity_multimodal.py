@@ -119,6 +119,165 @@ def _make_wav(rate=8000, freq=440.0, seconds=0.5, n_ch=2):
     return buf.getvalue()
 
 
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(payload).to_bytes(4, "big") + typ + payload
+        + zlib.crc32(typ + payload).to_bytes(4, "big")
+    )
+
+
+def _make_png(img: np.ndarray, ctype: int, filters: list[int], plte: bytes = b""):
+    """Spec-forward PNG encoder: applies the REQUESTED filter to each
+    scanline (the filtering direction RFC 2083 defines), zlib-compresses,
+    and frames the chunks. The decoder must invert every filter type."""
+    import zlib
+
+    h, w = img.shape[:2]
+    channels = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(h, w * channels).astype(np.int32)
+    bpp = channels
+    out = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        raw = flat[y]
+        f = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(bpp, np.int32), raw[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            filt = raw
+        elif f == 1:
+            filt = raw - left
+        elif f == 2:
+            filt = raw - prev
+        elif f == 3:
+            filt = raw - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = raw - pred
+        out += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+        prev = raw
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    body = _png_chunk(b"IHDR", ihdr)
+    if plte:
+        body += _png_chunk(b"PLTE", plte)
+    comp = zlib.compress(bytes(out))
+    # split IDAT in two to exercise multi-chunk reassembly
+    body += _png_chunk(b"IDAT", comp[: len(comp) // 2])
+    body += _png_chunk(b"IDAT", comp[len(comp) // 2 :])
+    return MM.PNG_SIG + body + _png_chunk(b"IEND", b"")
+
+
+def _make_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder: literal LZW codes only, mirroring the
+    decoder's width-growth rule so widths stay in sync."""
+    h, w = idx.shape
+    n_pal = len(palette)
+    pal_bits = max(1, (n_pal - 1).bit_length())
+    pal_size = 1 << pal_bits
+    gct = np.zeros((pal_size, 3), np.uint8)
+    gct[:n_pal] = palette
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (pal_bits - 1), 0, 0]) + gct.tobytes()
+    out += b"\x21\xfe\x05hello\x00"  # comment extension (must be skipped)
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    min_code = max(2, pal_bits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out += bytes([min_code])
+    bits: list[int] = []
+    code_size, next_code = min_code + 1, end + 1
+
+    def emit(code):
+        bits.extend((code >> k) & 1 for k in range(code_size))
+
+    emit(clear)
+    first = True
+    for px in idx.ravel():
+        emit(int(px))
+        if first:
+            first = False
+        else:
+            next_code += 1  # decoder adds one table entry per non-first code
+        if next_code >= (1 << code_size) and code_size < 12:
+            code_size += 1
+    emit(end)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        data.append(sum(b << k for k, b in enumerate(bits[i : i + 8])))
+    for i in range(0, len(data), 255):
+        block = bytes(data[i : i + 255])
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_png_all_filters_and_color_types():
+    rng = np.random.default_rng(42)
+    filters = [0, 1, 2, 3, 4]
+    # gray (0), RGB (2), gray+alpha (4), RGBA (6)
+    for ctype, shape in ((0, (10, 7)), (2, (10, 7, 3)), (4, (9, 5, 2)), (6, (11, 6, 4))):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = MM.decode_png_py(_make_png(img, ctype, filters))
+        assert np.array_equal(got, img), f"ctype={ctype}"
+    # palette (3): decoder returns the RGB-expanded image
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    pidx = rng.integers(0, 16, size=(8, 8), dtype=np.uint8)
+    got = MM.decode_png_py(_make_png(pidx, 3, filters, plte=pal.tobytes()))
+    assert np.array_equal(got, pal[pidx])
+
+
+def test_decode_png_rejects_unsupported():
+    img = np.zeros((4, 4, 3), np.uint8)
+    data = bytearray(_make_png(img, 2, [0]))
+    data[24] = 16  # bit depth byte inside IHDR
+    with pytest.raises(ValueError, match="bit depth"):
+        MM.decode_png_py(bytes(data))
+    data = bytearray(_make_png(img, 2, [0]))
+    data[28] = 1  # interlace byte
+    with pytest.raises(ValueError, match="interlaced"):
+        MM.decode_png_py(bytes(data))
+
+
+def test_decode_gif_lzw_exact():
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(12, 9), dtype=np.uint8)
+    got = MM.decode_gif_py(_make_gif(idx, pal))
+    assert np.array_equal(got, pal[idx])
+    # wide image crossing the 255-byte sub-block boundary
+    idx2 = rng.integers(0, 8, size=(40, 30), dtype=np.uint8)
+    assert np.array_equal(MM.decode_gif_py(_make_gif(idx2, pal)), pal[idx2])
+
+
+def test_decode_media_stdlib_png_gif_rows(spark):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 12, 4), dtype=np.uint8)  # RGBA
+    png = _make_png(img, 6, [0, 1, 2, 3, 4])
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(6, 10), dtype=np.uint8)
+    gif = _make_gif(idx, pal)
+    rows = [("png1", "d1", bytearray(png)), ("gif1", "d2", bytearray(gif))]
+    df = spark.createDataFrame(rows, "media_ref string, doc_id string, bytes binary")
+    got = {r["media_ref"]: r for r in MM.decode_media_stdlib(df, thumb=4).collect()}
+    assert got["png1"]["ok"] == "ok" and got["png1"]["kind"] == "image"
+    assert (got["png1"]["width"], got["png1"]["height"]) == (12, 16)
+    want = (
+        MM.resize_nearest(img[:, :, :3].mean(axis=2), 4, 4).astype(np.float32) / 255.0
+    ).ravel()
+    assert np.allclose(got["png1"]["thumb"], want, atol=1e-6)
+    assert got["gif1"]["ok"] == "ok"
+    assert (got["gif1"]["width"], got["gif1"]["height"]) == (10, 6)
+
+
 def test_decode_ppm_and_resize_exact():
     data, img = _make_ppm(20, 12)
     got = MM.decode_ppm_py(data)
