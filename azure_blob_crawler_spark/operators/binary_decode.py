@@ -11,13 +11,20 @@ code at all:
   paragraphs — the surface file_extractor.py:163-171 iterates). Full
   fidelity for the paragraph-text path.
 - **PDF**: a minimal content-stream text extractor for the dominant simple
-  case — per-object streams, uncompressed or ``/FlateDecode`` (``zlib``),
-  text shown via ``Tj`` / ``'`` / ``TJ`` with literal ``(…)`` or hex
-  ``<…>`` strings, newlines at line-advance operators (``Td TD T* '``).
-  DECLARED LIMITS (complex encodings are PyPDF2 territory): no CMap /
-  multi-byte font decoding, no xref-driven page tree — content streams are
-  treated as pages in document order, which holds for the
-  one-stream-per-page layout simple generators emit.
+  case — uncompressed or ``/FlateDecode`` (``zlib``) streams, text shown
+  via ``Tj`` / ``'`` / ``TJ`` with literal ``(…)`` or hex ``<…>``
+  strings, newlines at line-advance operators (``Td TD T* '``). Pages
+  come from the REAL page tree: the trailer's ``/Root`` (or the
+  ``/Type /Catalog`` object) → ``/Pages`` → ``/Kids`` recursion →
+  each ``/Type /Page``'s ``/Contents`` (single ref or array), so pages
+  order by tree position regardless of object order in the file, and a
+  multi-stream page concatenates its streams. Objects are indexed by
+  scanning ``N G obj … endobj`` headers (stream bodies skipped) rather
+  than trusting xref byte offsets — same objects, resilient to the
+  off-by-ones real-world writers leave behind. Files with no walkable
+  tree fall back to content streams in document order. DECLARED LIMITS
+  (PyPDF2 territory): no CMap / multi-byte font decoding, no
+  object/xref streams (PDF 1.5 compressed object storage).
 
 Decoded page/paragraph text feeds the SAME span builders as the text tier
 (operators/extraction.py) so markers, blank-page skipping and ordering stay
@@ -133,10 +140,127 @@ def _stream_text(content: bytes) -> str:
     return "".join(parts)
 
 
+_OBJ_HEAD = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_KW = re.compile(rb"\bstream\b")  # \b rejects the tail of 'endstream'
+
+
+def _pdf_objects(data: bytes) -> dict[int, bytes]:
+    """obj number → body bytes for every ``N G obj … endobj`` in the file.
+    A body's ``stream … endstream`` section is skipped before looking for
+    ``endobj`` so binary stream data can't truncate the object."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_HEAD.finditer(data):
+        start = m.end()
+        end = data.find(b"endobj", start)
+        sm = _STREAM_KW.search(data, start, end if end != -1 else len(data))
+        if sm:
+            es = data.find(b"endstream", sm.end())
+            if es != -1:
+                end = data.find(b"endobj", es)
+        if end == -1:
+            continue
+        # last occurrence wins: an incrementally-updated PDF appends the
+        # replacement object (and its xref) after the original
+        objs[int(m.group(1))] = data[start:end]
+    return objs
+
+
+def _ref(body: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def _ref_list(body: bytes, key: bytes) -> list[int]:
+    """Refs of ``/Key [a 0 R b 0 R …]``, or the single ``/Key a 0 R``."""
+    m = re.search(rb"/" + key + rb"\s*\[(.*?)\]", body, re.DOTALL)
+    if m:
+        return [int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
+    r = _ref(body, key)
+    return [r] if r is not None else []
+
+
+def _walk_page_tree(
+    objs: dict[int, bytes], num: int, seen: set[int], out: list[list[int]],
+    depth: int = 0,
+) -> None:
+    """Depth-first /Pages → /Kids recursion collecting each /Type /Page's
+    content-stream refs in tree order (cycle + depth guarded)."""
+    if depth > 64 or num in seen:
+        return
+    seen.add(num)
+    body = objs.get(num)
+    if body is None:
+        return
+    if re.search(rb"/Type\s*/Page\b", body):
+        out.append(_ref_list(body, b"Contents"))
+        return
+    for kid in _ref_list(body, b"Kids"):
+        _walk_page_tree(objs, kid, seen, out, depth + 1)
+
+
+def _decode_stream(body: bytes) -> str | None:
+    """Text of the object body's content stream ('' when it shows nothing,
+    None when there is no stream / an unsupported filter)."""
+    sm = _STREAM_RE.search(body)
+    if not sm:
+        return None
+    dict_part, raw = sm.groups()
+    if b"/FlateDecode" in dict_part:
+        try:
+            raw = zlib.decompress(raw.strip(b"\r\n"))
+        except zlib.error:
+            return None
+    elif b"/Filter" in dict_part:
+        return None  # unsupported filter (DCT, LZW, ...) — declared limit
+    return _stream_text(raw)
+
+
+def _pdf_pages_via_tree(data: bytes) -> list[str] | None:
+    """Page texts in page-TREE order (multi-stream pages concatenated), or
+    None when the file has no walkable catalog/page tree."""
+    try:
+        objs = _pdf_objects(data)
+        if not objs:
+            return None
+        root = None
+        tm = re.search(rb"trailer(.*?)(?:startxref|%%EOF)", data, re.DOTALL)
+        if tm:
+            root = _ref(tm.group(1), b"Root")
+        if root is None:  # xref-stream files carry /Root in the catalog only
+            root = next(
+                (n for n, b in objs.items() if re.search(rb"/Type\s*/Catalog\b", b)),
+                None,
+            )
+        if root is None:
+            return None
+        pages_root = _ref(objs.get(root, b""), b"Pages")
+        if pages_root is None:
+            return None
+        page_refs: list[list[int]] = []
+        _walk_page_tree(objs, pages_root, set(), page_refs)
+        if not page_refs:
+            return None
+        out = []
+        for refs in page_refs:
+            texts = [
+                t for r in refs
+                if (t := _decode_stream(objs.get(r, b""))) is not None
+            ]
+            out.append("".join(texts).strip())
+        return out
+    except Exception:
+        return None  # degenerate file → document-order fallback
+
+
 def pdf_page_texts(data: bytes) -> list[str]:
-    """Per-content-stream text of a simple PDF (streams in document order;
-    Flate or uncompressed). Streams that are not content (fonts, images,
-    xref streams) rarely produce text tokens and yield '' — dropped."""
+    """Per-page text of a simple PDF: page-tree order when the catalog is
+    walkable (object order in the file is irrelevant; a page's multiple
+    content streams concatenate), else content streams in document order.
+    Streams that are not content (fonts, images, xref streams) rarely
+    produce text tokens and yield '' — dropped."""
+    via_tree = _pdf_pages_via_tree(data)
+    if via_tree is not None:
+        return via_tree
     pages = []
     for dict_part, raw in _STREAM_RE.findall(data):
         body = raw

@@ -93,6 +93,85 @@ def test_pdf_spans_markers_and_order():
     assert spans[1]["text"] == f"{config.PAGE_PREFIX}2{config.PAGE_SUFFIX}\nPage two"
 
 
+def make_tree_pdf(shuffle: bool = True) -> bytes:
+    """Three-page PDF with a REAL catalog/page tree: nested /Pages nodes,
+    page 1 split across TWO content streams (array /Contents), and — when
+    ``shuffle`` — objects written physically out of page order, so only a
+    tree walk can order the pages correctly."""
+    streams = {
+        10: b"BT (Page one, part A. ) Tj ET",
+        11: zlib.compress(b"BT (part B.) Tj ET"),
+        12: b"BT (Page two) Tj ET",
+        13: b"BT (Page three) Tj ET",
+    }
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 3 >>",
+        # nested interior node holding pages 1 and 2
+        3: b"<< /Type /Pages /Kids [4 0 R 5 0 R] /Count 2 /Parent 2 0 R >>",
+        4: b"<< /Type /Page /Parent 3 0 R /Contents [10 0 R 11 0 R] >>",
+        5: b"<< /Type /Page /Parent 3 0 R /Contents 12 0 R >>",
+        6: b"<< /Type /Page /Parent 2 0 R /Contents 13 0 R >>",
+    }
+    order = [13, 6, 12, 5, 11, 10, 4, 3, 2, 1] if shuffle else sorted(objs) + sorted(streams)
+    parts = [b"%PDF-1.4\n"]
+    for n in order:
+        if n in streams:
+            s = streams[n]
+            filt = b" /Filter /FlateDecode" if n == 11 else b""
+            parts.append(
+                b"%d 0 obj << /Length %d%s >> stream\n%s\nendstream endobj\n"
+                % (n, len(s), filt, s)
+            )
+        else:
+            parts.append(b"%d 0 obj %s endobj\n" % (n, objs[n]))
+    parts.append(b"trailer << /Size 14 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    return b"".join(parts)
+
+
+def test_pdf_page_tree_orders_and_concatenates():
+    data = make_tree_pdf(shuffle=True)
+    # document order would yield [three, two, partB, partA]; the tree walk
+    # must order pages 1..3 and concatenate page 1's two streams
+    assert pdf_page_texts(data) == [
+        "Page one, part A. part B.",
+        "Page two",
+        "Page three",
+    ]
+    assert pdf_page_texts(make_tree_pdf(shuffle=False)) == pdf_page_texts(data)
+    spans = extract_spans_binary_py("t.pdf", data, len(data))
+    assert spans[0]["text"].endswith("Page one, part A. part B.")
+    assert len(spans) == 3
+
+
+def test_pdf_incremental_update_newest_object_wins():
+    base = make_tree_pdf(shuffle=False)
+    # incremental update: append a replacement for page 3's content stream
+    patch = (
+        b"13 0 obj << /Length 23 >> stream\nBT (Page three v2) Tj ET\nendstream endobj\n"
+        b"trailer << /Size 14 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    )
+    assert pdf_page_texts(base + patch)[2] == "Page three v2"
+
+
+def test_pdf_degenerate_tree_falls_back_to_stream_order():
+    # a catalog pointing at a missing /Pages object → document-order tier
+    data = (
+        b"%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 9 0 R >> endobj\n"
+        b"2 0 obj << /Length 19 >> stream\nBT (Only page) Tj ET\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert pdf_page_texts(data) == ["Only page"]
+    # self-referential kids must not loop
+    cyc = (
+        b"%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [2 0 R] >> endobj\n"
+        b"3 0 obj << /Length 19 >> stream\nBT (Loop free) Tj ET\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert pdf_page_texts(cyc) == ["Loop free"]
+
+
 def test_binary_fallback_is_text_tier():
     spans = extract_spans_binary_py("notes.txt", b"plain body", 10)
     assert spans == [{"kind": "text", "text": "plain body", "media_ref": None, "offset": 0}]
