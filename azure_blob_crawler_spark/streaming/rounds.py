@@ -163,17 +163,25 @@ def stream_unseen_urls(
         ) if pdfs else np.zeros(0, dtype=np.int64)
         if len(seed_hashes):
             chain.insert_many(np.unique(seed_hashes))
-        for pdf in pdfs:
-            keep = []
-            for i, (h, d) in enumerate(zip(pdf["url_hash"], pdf["depth"])):
-                if d == -1:
-                    continue  # seed rows are state-only, never emissions
-                h = int(h)
-                if not chain.contains(h):
-                    chain.insert(h)
-                    keep.append(i)
-            if keep:
-                yield pdf.iloc[keep][["url_hash", "url", "depth", "discovery_seq"]]
+        # vectorized first-seen (round-4 verdict item 6): in-batch first
+        # occurrence via np.unique(return_index=True), prior-drain
+        # membership via one contains_many probe, all newly seen hashes
+        # inserted in one insert_many — the same numpy path as the batch
+        # seen-set, no per-row Python. (Distinct same-batch hashes whose
+        # fingerprints collide now BOTH emit — exact on url_hash, where
+        # the old per-row loop let the filter suppress the later one;
+        # across drains the filter's FP rate applies unchanged.)
+        real = [pdf.loc[pdf["depth"] != -1] for pdf in pdfs]
+        real = [pdf for pdf in real if len(pdf)]
+        if real:
+            batch = pd.concat(real, ignore_index=True) if len(real) > 1 else real[0]
+            h = batch["url_hash"].to_numpy(dtype=np.int64)
+            uniq, first_idx = np.unique(h, return_index=True)
+            new_mask = ~chain.contains_many(uniq)
+            if new_mask.any():
+                chain.insert_many(uniq[new_mask])
+                emit = np.sort(first_idx[new_mask])
+                yield batch.iloc[emit][["url_hash", "url", "depth", "discovery_seq"]]
         state.update((chain.to_bytes(),))
 
     stream = spark.readStream.schema(LINKS_SCHEMA).parquet(links_dir)
