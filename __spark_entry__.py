@@ -36,6 +36,19 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Throwaway store dir for a contract query's index build, reaped at
+    process exit (round-4 verdict item 7: bm25idx_*/hybidx_* temp dirs
+    used to accumulate across driver/bench runs)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # flagship pipeline
 # ---------------------------------------------------------------------------
@@ -738,8 +751,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         against the same exact SQL twin in DuckDB (idf/tf-norm formula
         inlined, emitted twice with the tier tag); no top-k so boundary
         ties can't flip membership."""
-        import tempfile
-
         from azure_blob_crawler_spark.operators.search_index import TextSearchIndex
         from azure_blob_crawler_spark.sources.store import SnapshotStore
 
@@ -748,7 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         scan = Q.bm25_scores(corpus, "spark merge shuffle")
         idx = TextSearchIndex(
-            SnapshotStore(spark, tempfile.mkdtemp(prefix="bm25idx_")),
+            SnapshotStore(spark, _scratch_dir("bm25idx_")),
             n_term_buckets=8, n_doc_buckets=8,
         )
         idx.update(corpus)
@@ -769,8 +780,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         embeddings (cosine leg, query = embeddings[vec_id=1]), ranks on
         round(score, 4) so rank order is engine-independent; full SQL twin
         in DuckDB."""
-        import tempfile
-
         from azure_blob_crawler_spark.operators.search_index import TextSearchIndex
         from azure_blob_crawler_spark.sources.store import SnapshotStore
 
@@ -784,7 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         corpus = docs.join(emb, "chunk_id")
         idx = TextSearchIndex(
-            SnapshotStore(spark, tempfile.mkdtemp(prefix="hybidx_")),
+            SnapshotStore(spark, _scratch_dir("hybidx_")),
             n_term_buckets=8, n_doc_buckets=8,
         )
         idx.update(corpus.select("chunk_id", "content"))

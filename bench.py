@@ -111,6 +111,7 @@ def bench_bm25_index(spark, sf_dir: str, queries: list[str]) -> dict[str, float]
     also time the same queries through the scan tier. The index amortizes
     one corpus tokenization across every subsequent query — the repeated-
     query latency drop the round-3 verdict asked the bench to show."""
+    import shutil
     import tempfile
     import time as _t
 
@@ -122,18 +123,24 @@ def bench_bm25_index(spark, sf_dir: str, queries: list[str]) -> dict[str, float]
         F.col("doc_id").cast("string").alias("chunk_id"), F.col("text").alias("content")
     )
     out: dict[str, float] = {}
-    t0 = _t.time()
-    idx = TextSearchIndex(SnapshotStore(spark, tempfile.mkdtemp(prefix="benchidx_")))
-    idx.update(corpus)
-    out["bm25_index_build"] = round(_t.time() - t0, 3)
-    t0 = _t.time()
-    for q in queries:
-        idx.bm25(q).count()
-    out["bm25_indexed_%dq" % len(queries)] = round(_t.time() - t0, 3)
-    t0 = _t.time()
-    for q in queries:
-        bm25_scores(corpus, q).count()
-    out["bm25_scan_%dq" % len(queries)] = round(_t.time() - t0, 3)
+    idx_dir = tempfile.mkdtemp(prefix="benchidx_")
+    try:
+        t0 = _t.time()
+        idx = TextSearchIndex(SnapshotStore(spark, idx_dir))
+        idx.update(corpus)
+        # bm25_index_build is construction, not a query; the indexed/scan
+        # entries below time queries only
+        out["bm25_index_build"] = round(_t.time() - t0, 3)
+        t0 = _t.time()
+        for q in queries:
+            idx.bm25(q).count()
+        out["bm25_indexed_%dq" % len(queries)] = round(_t.time() - t0, 3)
+        t0 = _t.time()
+        for q in queries:
+            bm25_scores(corpus, q).count()
+        out["bm25_scan_%dq" % len(queries)] = round(_t.time() - t0, 3)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
     return out
 
 
