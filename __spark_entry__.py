@@ -750,7 +750,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stats tables maintained by MERGE, operators/search_index) — each
         against the same exact SQL twin in DuckDB (idf/tf-norm formula
         inlined, emitted twice with the tier tag); no top-k so boundary
-        ties can't flip membership."""
+        ties can't flip membership.
+
+        The index tier is deliberately served off a VACUUMED index at the
+        end of a replace/delete history (round-5): the first commit indexes
+        an adulterated corpus (1/7 of docs with query-term-bearing junk
+        prepended, plus 20 fake docs full of query terms), replacing
+        updates + deletes then converge it to the true corpus, and
+        vacuum() purges the stale postings. Any stale row surviving the
+        vacuum would shift df/n_docs/tf and hash-mismatch the oracle; a
+        leftover fake doc would break the row count."""
         from azure_blob_crawler_spark.operators.search_index import TextSearchIndex
         from azure_blob_crawler_spark.sources.store import SnapshotStore
 
@@ -762,7 +771,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SnapshotStore(spark, _scratch_dir("bm25idx_")),
             n_term_buckets=8, n_doc_buckets=8,
         )
-        idx.update(corpus)
+        adulterated = F.pmod(F.col("chunk_id").cast("long"), F.lit(7)) == 0
+        mod = corpus.withColumn(
+            "content",
+            F.when(
+                adulterated, F.concat(F.lit("zzstale spark merge "), F.col("content"))
+            ).otherwise(F.col("content")),
+        )
+        fakes = spark.range(20).select(
+            F.concat(F.lit("tmpdoc"), F.col("id").cast("string")).alias("chunk_id"),
+            F.lit("spark merge shuffle zzstale shuffle").alias("content"),
+        )
+        idx.update(mod.unionByName(fakes))
+        idx.update(corpus.filter(adulterated))  # replacing → strands old gens
+        idx.delete(fakes.select("chunk_id"))    # tombstone-free delete
+        idx.vacuum()                            # purge stale, back to one-job serving
         indexed = idx.bm25("spark merge shuffle")
         return scan.select(
             F.lit("scan").alias("tier"), "chunk_id", F.round("score", 4).alias("score")
