@@ -466,8 +466,18 @@ class CrawlRunner:
 
     def gc(self, keep_last: int = 3) -> dict:
         """Snapshot GC across all engine tables (old manifests + orphaned
-        data dirs removed; readers of kept versions unaffected)."""
+        data dirs removed; readers of kept versions unaffected). A dirty
+        text index (possible only after out-of-band re-index/delete — the
+        crawl's frontier dedup keeps in-band maintenance append-only) is
+        vacuumed first, restoring one-job query serving as part of the
+        same maintenance sweep."""
         stats = {}
+        if (
+            self.maintain_text_index
+            and self.search_index.exists()
+            and self.store.summary(self.search_index.docs).get("dirty", False)
+        ):
+            stats["index_vacuum"] = self.search_index.vacuum()
         for t in (
             FRONTIER, CHUNKS, DOC_META, CLAIM_LOG, SEEN_CUCKOO, "robots",
             self.search_index.postings, self.search_index.docs,
