@@ -13,10 +13,12 @@ Codec tiers:
   library covers: WAV audio (``wave``: sample rate, channels, duration,
   RMS loudness over a mono downmix), binary PPM/PGM images (header +
   pixel parse), PNG (zlib-inflated IDAT + per-scanline unfilter, types
-  0-4, 8-bit non-interlaced gray/gray+alpha/RGB/RGBA/palette) and GIF
-  (LZW decompress of the first frame + palette lookup) — each resized
-  true-nearest-neighbor to a thumbnail feature grid. Formats needing
-  Pillow/ffmpeg (JPEG, MP3, MP4…) come back ``ok = false`` with a
+  0-4, 8-bit non-interlaced gray/gray+alpha/RGB/RGBA/palette), GIF
+  (LZW decompress of the first frame + palette lookup) and baseline
+  JPEG (operators/jpeg.py: Huffman + dequantize + IDCT + chroma
+  upsample + YCbCr→RGB) — each resized true-nearest-neighbor to a
+  thumbnail feature grid. Formats needing real codec libraries
+  (progressive JPEG, MP3, MP4…) come back ``ok = false`` with a
   reason — the DataFrame-native analog of the stub's
   NotImplementedError.
 - ``decode_media`` — the hard-stub entry: raises NotImplementedError unless
@@ -375,10 +377,13 @@ def decode_media_stdlib(media: DataFrame, thumb: int = 8) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in DECODED_SCHEMA.fields]
+        from azure_blob_crawler_spark.operators.jpeg import decode_jpeg_py
+
         image_decoders = (
             (lambda d: d[:2] in (b"P5", b"P6"), decode_ppm_py),
             (lambda d: d[:8] == PNG_SIG, decode_png_py),
             (lambda d: d[:6] in (b"GIF87a", b"GIF89a"), decode_gif_py),
+            (lambda d: d[:2] == b"\xff\xd8", decode_jpeg_py),
         )
         for pdf in batches:
             rows = []
