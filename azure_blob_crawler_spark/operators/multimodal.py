@@ -17,10 +17,12 @@ Codec tiers:
   (LZW decompress of the first frame + palette lookup) and baseline
   JPEG (operators/jpeg.py: Huffman + dequantize + IDCT + chroma
   upsample + YCbCr→RGB) — each resized true-nearest-neighbor to a
-  thumbnail feature grid. Formats needing real codec libraries
-  (progressive JPEG, MP3, MP4…) come back ``ok = false`` with a
-  reason — the DataFrame-native analog of the stub's
-  NotImplementedError.
+  thumbnail feature grid. MP4/ISO-BMFF yields REAL structural metadata
+  (box-tree walk: duration, video-track dimensions — what
+  frame_sample_plan consumes) while frame decoding stays stubbed.
+  Formats needing real codec libraries (progressive JPEG, MP3, video
+  frames…) come back ``ok = false`` with a reason — the
+  DataFrame-native analog of the stub's NotImplementedError.
 - ``decode_media`` — the hard-stub entry: raises NotImplementedError unless
   a codec module is importable (Pillow / ffmpeg are not in this container).
 - ``fake_feature_extractor`` — deterministic hash-of-bytes stand-in
@@ -309,6 +311,79 @@ def decode_gif_py(data: bytes) -> np.ndarray:
     raise ValueError(f"no image frame in GIF ({gw}x{gh} screen)")
 
 
+def decode_mp4_meta_py(data: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) structural metadata without any codec: walk the
+    box tree (size/type headers, 64-bit largesize supported), read duration
+    and timescale from ``moov/mvhd`` and the first video track's pixel
+    dimensions from its ``tkhd`` (16.16 fixed point), track kinds from
+    ``hdlr``. Frame DECODING stays a declared stub — but this real parse
+    gives ``frame_sample_plan`` its duration_ms and typed metadata, which
+    is all the Spark-side plumbing needs."""
+
+    def boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            typ = buf[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - i
+            if size < hdr or i + size > end:
+                raise ValueError("malformed MP4 box")
+            yield typ, i + hdr, i + size
+            i += size
+
+    top = {t: (a, b) for t, a, b in boxes(data, 0, len(data))}
+    if b"moov" not in top:
+        raise ValueError("no moov box")
+    duration_ms = 0
+    width = height = None
+    n_tracks = n_video = 0
+    ma, mb = top[b"moov"]
+    for typ, a, b in boxes(data, ma, mb):
+        if typ == b"mvhd":
+            ver = data[a]
+            if ver == 1:
+                timescale = int.from_bytes(data[a + 20 : a + 24], "big")
+                duration = int.from_bytes(data[a + 24 : a + 32], "big")
+            else:
+                timescale = int.from_bytes(data[a + 12 : a + 16], "big")
+                duration = int.from_bytes(data[a + 16 : a + 20], "big")
+            duration_ms = int(duration * 1000 / timescale) if timescale else 0
+        elif typ == b"trak":
+            n_tracks += 1
+            tkhd_wh, is_video = None, False
+            for t2, a2, b2 in boxes(data, a, b):
+                if t2 == b"tkhd":
+                    # width/height are the last 8 bytes, 16.16 fixed
+                    tkhd_wh = (
+                        int.from_bytes(data[b2 - 8 : b2 - 4], "big") >> 16,
+                        int.from_bytes(data[b2 - 4 : b2], "big") >> 16,
+                    )
+                elif t2 == b"mdia":
+                    for t3, a3, b3 in boxes(data, a2, b2):
+                        if t3 == b"hdlr" and data[a3 + 8 : a3 + 12] == b"vide":
+                            is_video = True
+            if is_video:
+                n_video += 1
+                if width is None and tkhd_wh:
+                    width, height = tkhd_wh
+    return {
+        "duration_ms": duration_ms,
+        "width": width,
+        "height": height,
+        "n_tracks": n_tracks,
+        "n_video_tracks": n_video,
+    }
+
+
+def looks_like_mp4(data: bytes) -> bool:
+    return len(data) >= 12 and data[4:8] == b"ftyp"
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """True nearest-neighbor resize (pure numpy index maps)."""
     h, w = img.shape[:2]
@@ -410,6 +485,15 @@ def decode_media_stdlib(media: DataFrame, thumb: int = 8) -> DataFrame:
                             duration_ms=meta["duration_ms"],
                             sample_rate=meta["sample_rate"],
                             rms=np.float32(meta["rms"]),
+                        )
+                    elif looks_like_mp4(data):
+                        meta = decode_mp4_meta_py(data)
+                        # structural metadata is real; FRAME decode remains
+                        # the declared stub (needs a video codec)
+                        row.update(
+                            kind="video", ok="ok",
+                            duration_ms=meta["duration_ms"],
+                            width=meta["width"], height=meta["height"],
                         )
                     else:
                         row.update(

@@ -278,6 +278,51 @@ def test_decode_media_stdlib_png_gif_rows(spark):
     assert (got["gif1"]["width"], got["gif1"]["height"]) == (10, 6)
 
 
+def _box(typ: bytes, payload: bytes, large: bool = False) -> bytes:
+    if large:
+        return (1).to_bytes(4, "big") + typ + (len(payload) + 16).to_bytes(8, "big") + payload
+    return (len(payload) + 8).to_bytes(4, "big") + typ + payload
+
+
+def _make_mp4(duration_s=12.5, timescale=1000, w=320, h=240) -> bytes:
+    mvhd = bytes(4) + bytes(8) + timescale.to_bytes(4, "big") + int(
+        duration_s * timescale
+    ).to_bytes(4, "big") + bytes(80)
+    tkhd = bytes(4) + bytes(12) + (1).to_bytes(4, "big") + bytes(4) + bytes(4) + bytes(
+        52
+    ) + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+    hdlr_v = bytes(8) + b"vide" + bytes(12) + b"VideoHandler\x00"
+    hdlr_a = bytes(8) + b"soun" + bytes(12) + b"SoundHandler\x00"
+    trak_v = _box(b"trak", _box(b"tkhd", tkhd) + _box(b"mdia", _box(b"hdlr", hdlr_v)))
+    trak_a = _box(b"trak", _box(b"tkhd", bytes(len(tkhd))) + _box(b"mdia", _box(b"hdlr", hdlr_a)))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak_a + trak_v, large=True)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + _box(b"mdat", b"\x00" * 32)
+
+
+def test_decode_mp4_structural_metadata():
+    data = _make_mp4()
+    assert MM.looks_like_mp4(data)
+    meta = MM.decode_mp4_meta_py(data)
+    assert meta["duration_ms"] == 12500
+    assert (meta["width"], meta["height"]) == (320, 240)
+    assert meta["n_tracks"] == 2 and meta["n_video_tracks"] == 1
+    with pytest.raises(ValueError):
+        MM.decode_mp4_meta_py(_box(b"ftyp", b"isom") + _box(b"free", b""))
+
+
+def test_mp4_feeds_frame_sample_plan(spark):
+    data = _make_mp4(duration_s=3.0)
+    df = spark.createDataFrame(
+        [("v1", "d1", bytearray(data))], "media_ref string, doc_id string, bytes binary"
+    )
+    decoded = MM.decode_media_stdlib(df)
+    rows = {r["media_ref"]: r for r in decoded.collect()}
+    assert rows["v1"]["ok"] == "ok" and rows["v1"]["kind"] == "video"
+    assert rows["v1"]["duration_ms"] == 3000
+    frames = MM.frame_sample_plan(decoded, every_ms=1000).collect()
+    assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000]
+
+
 def test_decode_ppm_and_resize_exact():
     data, img = _make_ppm(20, 12)
     got = MM.decode_ppm_py(data)
@@ -305,7 +350,10 @@ def test_decode_media_stdlib_dataframe(spark):
     rows = [
         ("img1", "d1", bytearray(ppm)),
         ("aud1", "d2", bytearray(wav)),
+        # truncated JPEG: routed to the REAL decoder since round 5 → a
+        # per-row decode-error, not codec-not-available
         ("jpg1", "d3", bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),
+        ("mp3", "d5", bytearray(b"ID3\x04\x00 mp3-ish frames")),
         ("torn", "d4", bytearray(b"P6\n4 4\n255\n\x00")),  # truncated pixels
     ]
     df = spark.createDataFrame(rows, "media_ref string, doc_id string, bytes binary")
@@ -317,5 +365,6 @@ def test_decode_media_stdlib_dataframe(spark):
     assert np.allclose(got["img1"]["thumb"], want_thumb, atol=1e-6)
     assert got["aud1"]["ok"] == "ok" and got["aud1"]["kind"] == "audio"
     assert got["aud1"]["duration_ms"] == 250 and got["aud1"]["sample_rate"] == 8000
-    assert got["jpg1"]["ok"].startswith("codec-not-available")
+    assert got["jpg1"]["ok"].startswith("decode-error")
+    assert got["mp3"]["ok"].startswith("codec-not-available")
     assert got["torn"]["ok"].startswith("decode-error")
