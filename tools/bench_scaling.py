@@ -91,11 +91,35 @@ def run(cores: int, n: int) -> dict:
     return res
 
 
+def run_clean(cores: int, n: int, max_steal: float, max_tries: int) -> dict:
+    """Retry a measurement whose window exceeded ``max_steal``% co-tenant
+    steal (round-4 verdict item 8: the harness measures contention — use
+    it to REJECT contended windows instead of reporting them). Returns the
+    first clean run, else the least-stolen one, with every attempt's steal
+    recorded so a 'no clean window existed' claim is checkable."""
+    attempts = []
+    best = None
+    for _ in range(max_tries):
+        r = run(cores, n)
+        attempts.append(r["steal_pct_of_nonidle"])
+        if best is None or r["steal_pct_of_nonidle"] < best["steal_pct_of_nonidle"]:
+            best = r
+        if r["steal_pct_of_nonidle"] <= max_steal:
+            break
+    best["attempt_steals"] = attempts
+    best["clean"] = best["steal_pct_of_nonidle"] <= max_steal
+    return best
+
+
 def main():
+    import os
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     pairs = sys.argv[2] if len(sys.argv) > 2 else "2,8,32"
     cores = [int(c) for c in pairs.split(",")]
-    runs = [run(c, n) for c in cores]
+    max_steal = float(os.environ.get("BENCH_SCALING_MAX_STEAL", "3.0"))
+    max_tries = int(os.environ.get("BENCH_SCALING_MAX_TRIES", "3"))
+    runs = [run_clean(c, n, max_steal, max_tries) for c in cores]
     effs = {}
     for a, b in zip(runs, runs[1:]):
         ratio = b["cores"] / a["cores"]
