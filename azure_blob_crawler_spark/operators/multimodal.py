@@ -384,6 +384,85 @@ def looks_like_mp4(data: bytes) -> bool:
     return len(data) >= 12 and data[4:8] == b"ftyp"
 
 
+# Layer III bitrates (kbps) by index 1..14; row 1 = MPEG-1, row 2 = MPEG-2/2.5
+_MP3_BITRATES = {
+    1: (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# sample rates by version bits (11=MPEG-1, 10=MPEG-2, 00=MPEG-2.5)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def decode_mp3_meta_py(data: bytes) -> dict:
+    """MPEG-1/2/2.5 Layer III structural metadata without a codec: skip any
+    ID3v2 tag (syncsafe size), then walk consecutive frame headers —
+    sync / version / layer / bitrate index / sample-rate index / padding /
+    channel mode — stepping by each frame's spec length
+    (samples_per_frame/8 × bitrate ÷ sample_rate + padding) and summing
+    per-frame duration, so VBR streams report their true duration and
+    average bitrate. PCM decode (Huffman + IMDCT) stays the declared stub;
+    this is the audio twin of ``decode_mp4_meta_py``'s box walk. Trailing
+    ID3v1 (``TAG``) and zero padding after the last frame are tolerated;
+    anything else that breaks sync raises (per-row failure isolation
+    upstream turns that into an ``ok=decode-error`` row)."""
+    i = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = 0
+        for b in data[6:10]:
+            size = (size << 7) | (b & 0x7F)  # syncsafe: 7 bits per byte
+        i = 10 + size
+    n_frames = 0
+    sample_rate = n_ch = None
+    total_ms = 0.0
+    kbps_sum = 0
+    while i + 4 <= len(data):
+        if data[i : i + 3] == b"TAG":  # ID3v1 trailer
+            break
+        h = int.from_bytes(data[i : i + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            if n_frames and data[i:].rstrip(b"\x00") == b"":
+                break  # zero padding after the last frame
+            raise ValueError(f"lost MP3 frame sync at byte {i}")
+        ver_bits = (h >> 19) & 3
+        if ver_bits == 1 or (h >> 17) & 3 != 1:
+            raise ValueError("reserved MPEG version or not Layer III")
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free-format/bad bitrate or reserved sample rate")
+        mpeg1 = ver_bits == 3
+        rate = _MP3_RATES[ver_bits][sr_idx]
+        kbps = _MP3_BITRATES[1 if mpeg1 else 2][br_idx - 1]
+        spf = 1152 if mpeg1 else 576  # samples per Layer III frame
+        if sample_rate is None:
+            sample_rate = rate
+            n_ch = 1 if (h >> 6) & 3 == 3 else 2  # mode 11 = single channel
+        n_frames += 1
+        total_ms += spf * 1000.0 / rate
+        kbps_sum += kbps
+        i += spf // 8 * (kbps * 1000) // rate + ((h >> 9) & 1)
+    if not n_frames:
+        raise ValueError("no MP3 frames")
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_ch,
+        "duration_ms": int(total_ms),
+        "avg_bitrate_kbps": kbps_sum / n_frames,
+        "n_frames": n_frames,
+    }
+
+
+def looks_like_mp3(data: bytes) -> bool:
+    # ID3v2-tagged, or a bare frame header: 11-bit sync, Layer III,
+    # non-reserved version
+    return data[:3] == b"ID3" or (
+        len(data) >= 2
+        and data[0] == 0xFF
+        and (data[1] & 0xE6) == 0xE2
+        and (data[1] & 0x18) != 0x08
+    )
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """True nearest-neighbor resize (pure numpy index maps)."""
     h, w = img.shape[:2]
@@ -485,6 +564,15 @@ def decode_media_stdlib(media: DataFrame, thumb: int = 8) -> DataFrame:
                             duration_ms=meta["duration_ms"],
                             sample_rate=meta["sample_rate"],
                             rms=np.float32(meta["rms"]),
+                        )
+                    elif looks_like_mp3(data):
+                        meta = decode_mp3_meta_py(data)
+                        # frame-header walk is real; PCM decode remains the
+                        # declared stub (needs an MP3 codec) → no rms
+                        row.update(
+                            kind="audio", ok="ok",
+                            duration_ms=meta["duration_ms"],
+                            sample_rate=meta["sample_rate"],
                         )
                     elif looks_like_mp4(data):
                         meta = decode_mp4_meta_py(data)

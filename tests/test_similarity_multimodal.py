@@ -310,6 +310,75 @@ def test_decode_mp4_structural_metadata():
         MM.decode_mp4_meta_py(_box(b"ftyp", b"isom") + _box(b"free", b""))
 
 
+def _mp3_frame(ver_bits: int, kbps: int, rate: int, sr_idx: int, pad: int,
+               mode: int) -> bytes:
+    """Encode one Layer III frame forward from ISO/IEC 11172-3 §2.4.1:
+    header bitfields packed by hand, body length from the spec formula
+    samples_per_frame/8 × bitrate ÷ sample_rate + padding."""
+    table = MM._MP3_BITRATES[1 if ver_bits == 3 else 2]
+    h = (0x7FF << 21) | (ver_bits << 19) | (1 << 17) | (1 << 16)  # sync/ver/LayerIII/no-CRC
+    h |= ((table.index(kbps) + 1) << 12) | (sr_idx << 10) | (pad << 9) | (mode << 6)
+    spf = 1152 if ver_bits == 3 else 576
+    frame_len = spf // 8 * (kbps * 1000) // rate + pad
+    return h.to_bytes(4, "big") + b"\xaa" * (frame_len - 4)
+
+
+def _make_mp3(frames: list[bytes], id3v2: bool = True, id3v1: bool = False) -> bytes:
+    tag = b""
+    if id3v2:
+        payload = b"TIT2\x00\x00\x00\x05\x00\x00\x00titl"  # arbitrary tag bytes
+        sz = len(payload)
+        syncsafe = bytes(((sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F))
+        tag = b"ID3\x04\x00\x00" + syncsafe + payload
+    return tag + b"".join(frames) + (b"TAG" + b"\x00" * 125 if id3v1 else b"")
+
+
+def test_decode_mp3_meta_vbr_and_padding():
+    # MPEG-1, 44100 Hz (sr_idx 0), VBR 128/192/128, padding on the middle
+    # frame, joint stereo (mode 01), ID3v2 front tag + ID3v1 trailer
+    frames = [
+        _mp3_frame(3, 128, 44100, 0, 0, 1),
+        _mp3_frame(3, 192, 44100, 0, 1, 1),
+        _mp3_frame(3, 128, 44100, 0, 0, 1),
+    ]
+    data = _make_mp3(frames, id3v1=True)
+    assert MM.looks_like_mp3(data)
+    meta = MM.decode_mp3_meta_py(data)
+    assert meta["n_frames"] == 3 and meta["n_channels"] == 2
+    assert meta["sample_rate"] == 44100
+    assert meta["duration_ms"] == int(3 * 1152 * 1000.0 / 44100)  # 78 ms
+    assert meta["avg_bitrate_kbps"] == pytest.approx((128 + 192 + 128) / 3)
+
+
+def test_decode_mp3_meta_mpeg25_mono_and_errors():
+    # MPEG-2.5 (ver bits 00), 8000 Hz (sr_idx 2), 576 samples/frame, mono
+    frames = [_mp3_frame(0, 32, 8000, 2, 0, 3)] * 4
+    meta = MM.decode_mp3_meta_py(_make_mp3(frames, id3v2=False))
+    assert meta["n_channels"] == 1 and meta["sample_rate"] == 8000
+    assert meta["duration_ms"] == int(4 * 576 * 1000.0 / 8000)  # 288 ms
+    # trailing zero padding after the last frame is tolerated
+    MM.decode_mp3_meta_py(_make_mp3(frames, id3v2=False) + b"\x00" * 17)
+    with pytest.raises(ValueError):  # garbage between frames breaks sync
+        MM.decode_mp3_meta_py(frames[0] + b"junk" + frames[0])
+    # torn download: final frame body truncated — header already counted
+    torn = MM.decode_mp3_meta_py(_make_mp3(frames, id3v2=False)[:-40])
+    assert torn["n_frames"] == 4
+    with pytest.raises(ValueError):  # ID3 tag with no audio after it
+        MM.decode_mp3_meta_py(_make_mp3([], id3v2=True))
+
+
+def test_mp3_row_through_decode_media_stdlib(spark):
+    data = _make_mp3([_mp3_frame(3, 128, 44100, 0, 0, 1)] * 2)
+    df = spark.createDataFrame(
+        [("a1", "d1", bytearray(data))], "media_ref string, doc_id string, bytes binary"
+    )
+    rows = {r["media_ref"]: r for r in MM.decode_media_stdlib(df).collect()}
+    assert rows["a1"]["ok"] == "ok" and rows["a1"]["kind"] == "audio"
+    assert rows["a1"]["sample_rate"] == 44100
+    assert rows["a1"]["duration_ms"] == int(2 * 1152 * 1000.0 / 44100)
+    assert rows["a1"]["rms"] is None  # PCM decode is the declared stub
+
+
 def test_mp4_feeds_frame_sample_plan(spark):
     data = _make_mp4(duration_s=3.0)
     df = spark.createDataFrame(
@@ -353,7 +422,10 @@ def test_decode_media_stdlib_dataframe(spark):
         # truncated JPEG: routed to the REAL decoder since round 5 → a
         # per-row decode-error, not codec-not-available
         ("jpg1", "d3", bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),
+        # torn MP3: routed to the REAL frame-header walk since round 5 → a
+        # per-row decode-error; genuinely unknown bytes keep the old reason
         ("mp3", "d5", bytearray(b"ID3\x04\x00 mp3-ish frames")),
+        ("unk", "d6", bytearray(b"\x00\x01no known magic")),
         ("torn", "d4", bytearray(b"P6\n4 4\n255\n\x00")),  # truncated pixels
     ]
     df = spark.createDataFrame(rows, "media_ref string, doc_id string, bytes binary")
@@ -366,5 +438,6 @@ def test_decode_media_stdlib_dataframe(spark):
     assert got["aud1"]["ok"] == "ok" and got["aud1"]["kind"] == "audio"
     assert got["aud1"]["duration_ms"] == 250 and got["aud1"]["sample_rate"] == 8000
     assert got["jpg1"]["ok"].startswith("decode-error")
-    assert got["mp3"]["ok"].startswith("codec-not-available")
+    assert got["mp3"]["ok"].startswith("decode-error")
+    assert got["unk"]["ok"].startswith("codec-not-available")
     assert got["torn"]["ok"].startswith("decode-error")
