@@ -22,9 +22,14 @@ code at all:
   scanning ``N G obj … endobj`` headers (stream bodies skipped) rather
   than trusting xref byte offsets — same objects, resilient to the
   off-by-ones real-world writers leave behind. Files with no walkable
-  tree fall back to content streams in document order. DECLARED LIMITS
-  (PyPDF2 territory): no CMap / multi-byte font decoding, no
-  object/xref streams (PDF 1.5 compressed object storage).
+  tree fall back to content streams in document order. PDF 1.5
+  ``/Type /ObjStm`` containers are expanded (their ``/N`` × ``objnum
+  offset`` header + ``/First``-based bodies, ISO 32000-1 §7.5.7) so
+  compressed-storage catalogs/page trees walk the same way; xref
+  streams themselves never need parsing because objects are found by
+  scanning, and ``/Root`` falls back to the ``/Type /Catalog`` object.
+  DECLARED LIMITS (PyPDF2 territory): no CMap / multi-byte font
+  decoding, no encryption.
 
 Decoded page/paragraph text feeds the SAME span builders as the text tier
 (operators/extraction.py) so markers, blank-page skipping and ordering stay
@@ -162,6 +167,13 @@ def _pdf_objects(data: bytes) -> dict[int, bytes]:
         # last occurrence wins: an incrementally-updated PDF appends the
         # replacement object (and its xref) after the original
         objs[int(m.group(1))] = data[start:end]
+    # PDF 1.5 compressed object storage: expand /Type /ObjStm containers so
+    # the page-tree walk sees their dict-only objects too. Top-level objects
+    # keep precedence (an incremental update that replaces a compressed
+    # object writes it top-level).
+    for body in [b for b in objs.values() if re.search(rb"/Type\s*/ObjStm\b", b)]:
+        for num, obj in _objstm_objects(body).items():
+            objs.setdefault(num, obj)
     return objs
 
 
@@ -198,21 +210,54 @@ def _walk_page_tree(
         _walk_page_tree(objs, kid, seen, out, depth + 1)
 
 
-def _decode_stream(body: bytes) -> str | None:
-    """Text of the object body's content stream ('' when it shows nothing,
-    None when there is no stream / an unsupported filter)."""
+def _raw_stream(body: bytes) -> tuple[bytes | None, bytes | None]:
+    """(stream dict, inflated stream bytes) of an object body — bytes is
+    None when there is no stream or the filter is unsupported."""
     sm = _STREAM_RE.search(body)
     if not sm:
-        return None
+        return None, None
     dict_part, raw = sm.groups()
     if b"/FlateDecode" in dict_part:
         try:
             raw = zlib.decompress(raw.strip(b"\r\n"))
         except zlib.error:
-            return None
+            return dict_part, None
     elif b"/Filter" in dict_part:
-        return None  # unsupported filter (DCT, LZW, ...) — declared limit
-    return _stream_text(raw)
+        return dict_part, None  # unsupported filter (DCT, LZW, ...) — declared limit
+    return dict_part, raw
+
+
+def _decode_stream(body: bytes) -> str | None:
+    """Text of the object body's content stream ('' when it shows nothing,
+    None when there is no stream / an unsupported filter)."""
+    raw = _raw_stream(body)[1]
+    return None if raw is None else _stream_text(raw)
+
+
+def _objstm_objects(body: bytes) -> dict[int, bytes]:
+    """Objects packed in a PDF 1.5 ``/Type /ObjStm`` container: the stream
+    opens with ``/N`` pairs of ``objnum offset`` integers, object bodies
+    start at ``/First`` + offset (ISO 32000-1 §7.5.7). Streams themselves
+    cannot live inside an ObjStm, so every entry is a dict-only object —
+    exactly what the page-tree walk needs."""
+    dict_part, raw = _raw_stream(body)
+    if raw is None:
+        return {}
+    n = re.search(rb"/N\s+(\d+)", dict_part)
+    first = re.search(rb"/First\s+(\d+)", dict_part)
+    if not n or not first:
+        return {}
+    first = int(first.group(1))
+    head = raw[:first].split()
+    pairs = [
+        (int(head[2 * i]), int(head[2 * i + 1]))
+        for i in range(min(int(n.group(1)), len(head) // 2))
+    ]
+    out = {}
+    for i, (objnum, off) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < len(pairs) else len(raw) - first
+        out[objnum] = raw[first + off : first + end]
+    return out
 
 
 def _pdf_pages_via_tree(data: bytes) -> list[str] | None:

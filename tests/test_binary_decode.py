@@ -172,6 +172,67 @@ def test_pdf_degenerate_tree_falls_back_to_stream_order():
     assert pdf_page_texts(cyc) == ["Loop free"]
 
 
+def make_objstm_pdf() -> bytes:
+    """PDF 1.5-style file: the catalog and the whole page tree live inside
+    a Flate-compressed /Type /ObjStm (built forward per ISO 32000-1
+    §7.5.7: N pairs of 'objnum offset', bodies at /First + offset); only
+    the content streams are top-level objects. No trailer dict — /Root is
+    only discoverable by expanding the container and finding /Catalog."""
+    packed = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents [10 0 R 11 0 R] >>",
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 12 0 R >>",
+    }
+    bodies, head, off = [], [], 0
+    for num, body in packed.items():
+        head.append(b"%d %d" % (num, off))
+        bodies.append(body)
+        off += len(body) + 1
+    header = b" ".join(head) + b"\n"
+    payload = header + b"\n".join(bodies) + b"\n"
+    z = zlib.compress(payload)
+    streams = {
+        10: b"BT (Compressed tree, part A ) Tj ET",
+        11: b"BT (and part B) Tj ET",
+        12: b"BT (Second page) Tj ET",
+    }
+    parts = [b"%PDF-1.5\n"]
+    # content streams physically before the container, reverse page order
+    for n in (12, 11, 10):
+        s = streams[n]
+        parts.append(
+            b"%d 0 obj << /Length %d >> stream\n%s\nendstream endobj\n" % (n, len(s), s)
+        )
+    parts.append(
+        b"20 0 obj << /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >> "
+        b"stream\n%s\nendstream endobj\n" % (len(packed), len(header), len(z), z)
+    )
+    parts.append(b"startxref\n0\n%%EOF\n")
+    return b"".join(parts)
+
+
+def test_pdf_objstm_tree_walks_in_page_order():
+    data = make_objstm_pdf()
+    # document order would be [Second page, and part B, Compressed tree…];
+    # only expanding the ObjStm yields the catalog and the tree order
+    assert pdf_page_texts(data) == [
+        "Compressed tree, part A and part B",
+        "Second page",
+    ]
+
+
+def test_pdf_objstm_top_level_update_wins():
+    # incremental update appends a TOP-LEVEL replacement for a page dict
+    # that also exists compressed — top-level takes precedence
+    patch = (
+        b"4 0 obj << /Type /Page /Parent 2 0 R /Contents 13 0 R >> endobj\n"
+        b"13 0 obj << /Length 24 >> stream\nBT (Second page v2) Tj ET\nendstream endobj\n"
+        b"startxref\n0\n%%EOF\n"
+    )
+    assert pdf_page_texts(make_objstm_pdf() + patch)[1] == "Second page v2"
+
+
 def test_binary_fallback_is_text_tier():
     spans = extract_spans_binary_py("notes.txt", b"plain body", 10)
     assert spans == [{"kind": "text", "text": "plain body", "media_ref": None, "offset": 0}]
