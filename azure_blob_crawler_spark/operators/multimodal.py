@@ -133,52 +133,16 @@ def decode_ppm_py(data: bytes) -> np.ndarray:
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png_py(data: bytes) -> np.ndarray:
-    """PNG → uint8 array (h, w[, channels]) using only zlib + numpy.
-
-    Supports the baseline still-image profile: 8-bit samples,
-    non-interlaced, color types 0 (gray), 2 (RGB), 3 (palette), 4
-    (gray+alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/
-    Average/Paeth) are unfiltered per the spec. 16-bit, interlace and
-    ancillary transforms (gAMA etc.) raise — those rows surface as
-    per-row ``decode-error`` results, never task death."""
-    if data[:8] != PNG_SIG:
-        raise ValueError("not a PNG")
-    ihdr, idat, plte = None, [], None
-    i = 8
-    while i + 8 <= len(data):
-        ln = int.from_bytes(data[i : i + 4], "big")
-        typ = data[i + 4 : i + 8]
-        chunk = data[i + 8 : i + 8 + ln]
-        i += 12 + ln
-        if typ == b"IHDR":
-            ihdr = chunk
-        elif typ == b"IDAT":
-            idat.append(chunk)
-        elif typ == b"PLTE":
-            plte = chunk
-        elif typ == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    w, h = int.from_bytes(ihdr[0:4], "big"), int.from_bytes(ihdr[4:8], "big")
-    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise ValueError(f"bit depth {depth} unsupported (8 only)")
-    if interlace:
-        raise ValueError("interlaced PNG unsupported")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise ValueError(f"color type {ctype} unsupported")
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("decompressed IDAT length mismatch")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    bpp = channels  # bytes per pixel at depth 8
-    out = np.zeros((h, stride), dtype=np.uint8)
+def _unfilter_png(rows: np.ndarray, bpp: int) -> np.ndarray:
+    """Invert the five PNG scanline filters over a (n_rows, 1+stride)
+    filter-byte + filtered-bytes array → (n_rows, stride) reconstructed
+    samples. Per the spec each (sub)image starts with an all-zero prior
+    row, so Adam7 passes unfilter independently with the same code."""
+    n, stride = rows.shape[0], rows.shape[1] - 1
+    out = np.zeros((n, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
+    w = stride // bpp
+    for y in range(n):
         f, cur = int(rows[y, 0]), rows[y, 1:]
         if f == 0:
             rec = cur.copy()
@@ -207,7 +171,81 @@ def decode_png_py(data: bytes) -> np.ndarray:
             raise ValueError(f"bad scanline filter {f}")
         out[y] = rec
         prev = rec
-    img = out.reshape(h, w, channels)
+    return out
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), spec order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def decode_png_py(data: bytes) -> np.ndarray:
+    """PNG → uint8 array (h, w[, channels]) using only zlib + numpy.
+
+    Supports the 8-bit still-image profile: color types 0 (gray), 2
+    (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline
+    filters (None/Sub/Up/Average/Paeth) unfiltered per the spec; both
+    non-interlaced and Adam7-interlaced layouts (each pass is an
+    independently-filtered sub-image scattered onto its grid). 16-bit
+    and ancillary transforms (gAMA etc.) raise — those rows surface as
+    per-row ``decode-error`` results, never task death."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    ihdr, idat, plte = None, [], None
+    i = 8
+    while i + 8 <= len(data):
+        ln = int.from_bytes(data[i : i + 4], "big")
+        typ = data[i + 4 : i + 8]
+        chunk = data[i + 8 : i + 8 + ln]
+        i += 12 + ln
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h = int.from_bytes(ihdr[0:4], "big"), int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise ValueError(f"bit depth {depth} unsupported (8 only)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"color type {ctype} unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * channels + 1)
+            sub = raw[pos : pos + need]
+            pos += need
+            if len(sub) != need:
+                raise ValueError("decompressed IDAT length mismatch")
+            rec = _unfilter_png(
+                np.frombuffer(sub, dtype=np.uint8).reshape(ph, pw * channels + 1),
+                channels,
+            )
+            img[y0::dy, x0::dx] = rec.reshape(ph, pw, channels)
+        if pos != len(raw):
+            raise ValueError("decompressed IDAT length mismatch")
+    elif interlace == 0:
+        if len(raw) != h * (stride + 1):
+            raise ValueError("decompressed IDAT length mismatch")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        img = _unfilter_png(rows, channels).reshape(h, w, channels)
+    else:
+        raise ValueError(f"bad interlace method {interlace}")
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")

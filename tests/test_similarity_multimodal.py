@@ -128,19 +128,13 @@ def _png_chunk(typ: bytes, payload: bytes) -> bytes:
     )
 
 
-def _make_png(img: np.ndarray, ctype: int, filters: list[int], plte: bytes = b""):
-    """Spec-forward PNG encoder: applies the REQUESTED filter to each
-    scanline (the filtering direction RFC 2083 defines), zlib-compresses,
-    and frames the chunks. The decoder must invert every filter type."""
-    import zlib
-
-    h, w = img.shape[:2]
-    channels = 1 if img.ndim == 2 else img.shape[2]
-    flat = img.reshape(h, w * channels).astype(np.int32)
-    bpp = channels
+def _filter_scanlines(flat: np.ndarray, bpp: int, filters: list[int]) -> bytearray:
+    """Forward-filter a (rows, stride) sample grid per RFC 2083 — shared by
+    the plain and Adam7 encoders (each Adam7 pass filters independently)."""
+    flat = flat.astype(np.int32)
     out = bytearray()
-    prev = np.zeros(w * channels, dtype=np.int32)
-    for y in range(h):
+    prev = np.zeros(flat.shape[1], dtype=np.int32)
+    for y in range(flat.shape[0]):
         raw = flat[y]
         f = filters[y % len(filters)]
         left = np.concatenate([np.zeros(bpp, np.int32), raw[:-bpp]])
@@ -162,6 +156,18 @@ def _make_png(img: np.ndarray, ctype: int, filters: list[int], plte: bytes = b""
             filt = raw - pred
         out += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
         prev = raw
+    return out
+
+
+def _make_png(img: np.ndarray, ctype: int, filters: list[int], plte: bytes = b""):
+    """Spec-forward PNG encoder: applies the REQUESTED filter to each
+    scanline (the filtering direction RFC 2083 defines), zlib-compresses,
+    and frames the chunks. The decoder must invert every filter type."""
+    import zlib
+
+    h, w = img.shape[:2]
+    channels = 1 if img.ndim == 2 else img.shape[2]
+    out = _filter_scanlines(img.reshape(h, w * channels), channels, filters)
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
         + bytes([8, ctype, 0, 0, 0])
@@ -235,6 +241,40 @@ def test_decode_png_all_filters_and_color_types():
     assert np.array_equal(got, pal[pidx])
 
 
+def _make_png_adam7(img: np.ndarray, ctype: int, filters: list[int]) -> bytes:
+    """Adam7 encoder built forward from the spec: split the image into the
+    7 pass sub-images, filter each pass independently, concatenate, then
+    frame with interlace=1 in IHDR."""
+    import zlib
+
+    h, w = img.shape[:2]
+    channels = 1 if img.ndim == 2 else img.shape[2]
+    grid = img.reshape(h, w, channels)
+    out = bytearray()
+    for x0, y0, dx, dy in MM._ADAM7:
+        sub = grid[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        out += _filter_scanlines(
+            sub.reshape(sub.shape[0], sub.shape[1] * channels), channels, filters
+        )
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 1])
+    body = _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+    return MM.PNG_SIG + body + _png_chunk(b"IEND", b"")
+
+
+def test_decode_png_adam7_interlaced():
+    rng = np.random.default_rng(11)
+    # 13x11: not a multiple of 8, so several passes have ragged extents
+    for ctype, shape in ((2, (13, 11, 3)), (0, (13, 11)), (6, (9, 5, 4))):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = MM.decode_png_py(_make_png_adam7(img, ctype, [0, 1, 2, 3, 4]))
+        assert np.array_equal(got, img), f"ctype {ctype}"
+    # tiny images where late passes are empty (1x1 only has pass 1)
+    one = np.array([[7]], dtype=np.uint8)
+    assert np.array_equal(MM.decode_png_py(_make_png_adam7(one, 0, [0])), one)
+
+
 def test_decode_png_rejects_unsupported():
     img = np.zeros((4, 4, 3), np.uint8)
     data = bytearray(_make_png(img, 2, [0]))
@@ -242,8 +282,12 @@ def test_decode_png_rejects_unsupported():
     with pytest.raises(ValueError, match="bit depth"):
         MM.decode_png_py(bytes(data))
     data = bytearray(_make_png(img, 2, [0]))
-    data[28] = 1  # interlace byte
-    with pytest.raises(ValueError, match="interlaced"):
+    data[28] = 2  # bogus interlace method (0 and 1 are the spec's only two)
+    with pytest.raises(ValueError, match="interlace method"):
+        MM.decode_png_py(bytes(data))
+    data = bytearray(_make_png(img, 2, [0]))
+    data[28] = 1  # claims Adam7 but carries a non-interlaced layout
+    with pytest.raises(ValueError, match="length mismatch"):
         MM.decode_png_py(bytes(data))
 
 
