@@ -184,13 +184,15 @@ _ADAM7 = (
 def decode_png_py(data: bytes) -> np.ndarray:
     """PNG → uint8 array (h, w[, channels]) using only zlib + numpy.
 
-    Supports the 8-bit still-image profile: color types 0 (gray), 2
-    (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline
-    filters (None/Sub/Up/Average/Paeth) unfiltered per the spec; both
+    Supports the still-image profile: color types 0 (gray), 2 (RGB), 3
+    (palette), 4 (gray+alpha), 6 (RGBA) at 8-bit depth, plus 16-bit for
+    the non-palette types (samples downscale to their high byte, the
+    spec's depth-reduction approximation); all five scanline filters
+    (None/Sub/Up/Average/Paeth) unfiltered per the spec; both
     non-interlaced and Adam7-interlaced layouts (each pass is an
-    independently-filtered sub-image scattered onto its grid). 16-bit
-    and ancillary transforms (gAMA etc.) raise — those rows surface as
-    per-row ``decode-error`` results, never task death."""
+    independently-filtered sub-image scattered onto its grid). Sub-byte
+    depths and ancillary transforms (gAMA etc.) raise — those rows
+    surface as per-row ``decode-error`` results, never task death."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     ihdr, idat, plte = None, [], None
@@ -212,40 +214,43 @@ def decode_png_py(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR/IDAT")
     w, h = int.from_bytes(ihdr[0:4], "big"), int.from_bytes(ihdr[4:8], "big")
     depth, ctype, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise ValueError(f"bit depth {depth} unsupported (8 only)")
+    if depth not in (8, 16) or (depth == 16 and ctype == 3):
+        raise ValueError(f"bit depth {depth} unsupported for color type {ctype}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"color type {ctype} unsupported")
+    sb = depth // 8  # bytes per sample; filters operate on raw BYTES
+    bpp = channels * sb
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
+    stride = w * bpp
     if interlace == 1:  # Adam7: 7 independently-filtered sub-images
-        img = np.zeros((h, w, channels), dtype=np.uint8)
+        buf = np.zeros((h, w, bpp), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = ph * (pw * channels + 1)
+            need = ph * (pw * bpp + 1)
             sub = raw[pos : pos + need]
             pos += need
             if len(sub) != need:
                 raise ValueError("decompressed IDAT length mismatch")
             rec = _unfilter_png(
-                np.frombuffer(sub, dtype=np.uint8).reshape(ph, pw * channels + 1),
-                channels,
+                np.frombuffer(sub, dtype=np.uint8).reshape(ph, pw * bpp + 1), bpp
             )
-            img[y0::dy, x0::dx] = rec.reshape(ph, pw, channels)
+            buf[y0::dy, x0::dx] = rec.reshape(ph, pw, bpp)
         if pos != len(raw):
             raise ValueError("decompressed IDAT length mismatch")
     elif interlace == 0:
         if len(raw) != h * (stride + 1):
             raise ValueError("decompressed IDAT length mismatch")
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-        img = _unfilter_png(rows, channels).reshape(h, w, channels)
+        buf = _unfilter_png(rows, bpp).reshape(h, w, bpp)
     else:
         raise ValueError(f"bad interlace method {interlace}")
+    # 16-bit samples are big-endian: byte 0 is the high byte = value >> 8
+    img = buf.reshape(h, w, channels, sb)[:, :, :, 0]
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")

@@ -275,10 +275,42 @@ def test_decode_png_adam7_interlaced():
     assert np.array_equal(MM.decode_png_py(_make_png_adam7(one, 0, [0])), one)
 
 
+def _make_png16(img16: np.ndarray, ctype: int, filters: list[int]) -> bytes:
+    """16-bit spec-forward encoder: samples serialized big-endian, filters
+    applied to the raw BYTE stream (the spec filters bytes, not samples)."""
+    import zlib
+
+    h, w = img16.shape[:2]
+    c = 1 if img16.ndim == 2 else img16.shape[2]
+    rows = np.frombuffer(img16.astype(">u2").tobytes(), np.uint8).reshape(h, w * c * 2)
+    out = _filter_scanlines(rows, c * 2, filters)
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, ctype, 0, 0, 0])
+    return (
+        MM.PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out))) + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_16bit_high_byte():
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 65536, size=(7, 5, 3), dtype=np.uint16)
+    got = MM.decode_png_py(_make_png16(rgb, 2, [0, 1, 2, 3, 4]))
+    assert got.dtype == np.uint8 and np.array_equal(got, (rgb >> 8).astype(np.uint8))
+    gray = rng.integers(0, 65536, size=(6, 4), dtype=np.uint16)
+    got = MM.decode_png_py(_make_png16(gray, 0, [4, 3]))
+    assert np.array_equal(got, (gray >> 8).astype(np.uint8))
+
+
 def test_decode_png_rejects_unsupported():
     img = np.zeros((4, 4, 3), np.uint8)
     data = bytearray(_make_png(img, 2, [0]))
-    data[24] = 16  # bit depth byte inside IHDR
+    data[24] = 4  # sub-byte depth inside IHDR
+    with pytest.raises(ValueError, match="bit depth"):
+        MM.decode_png_py(bytes(data))
+    # 16-bit palette is not a legal combination
+    pal_img = np.zeros((2, 2), np.uint8)
+    data = bytearray(_make_png(pal_img, 3, [0], plte=bytes(6)))
+    data[24] = 16
     with pytest.raises(ValueError, match="bit depth"):
         MM.decode_png_py(bytes(data))
     data = bytearray(_make_png(img, 2, [0]))
