@@ -28,8 +28,17 @@ code at all:
   compressed-storage catalogs/page trees walk the same way; xref
   streams themselves never need parsing because objects are found by
   scanning, and ``/Root`` falls back to the ``/Type /Catalog`` object.
-  DECLARED LIMITS (PyPDF2 territory): no CMap / multi-byte font
-  decoding, no encryption.
+  Composite (Type0 / CID, e.g. Identity-H-encoded subset TrueType) and
+  remapped simple fonts decode through their ``/ToUnicode`` CMap: the
+  page's ``/Resources /Font`` dict (own or inherited from a ``/Pages``
+  ancestor, ISO 32000-1 §7.7.3.4) is resolved, each font's CMap stream
+  is parsed (``codespacerange`` code width, ``bfchar`` pairs,
+  ``bfrange`` in both base-increment and array forms, multi-code-unit
+  UTF-16BE destinations), and show-string bytes step code-width-wise
+  through the mapping while ``Tf`` tracks the current font. Fonts
+  without a ToUnicode keep the latin-1 byte interpretation.
+  DECLARED LIMITS (PyPDF2 territory): no encryption, no
+  glyph-name/Differences fallback when a font ships no ToUnicode.
 
 Decoded page/paragraph text feeds the SAME span builders as the text tier
 (operators/extraction.py) so markers, blank-page skipping and ordering stay
@@ -76,10 +85,11 @@ def docx_paragraphs(data: bytes) -> list[str]:
 
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
-# one content-stream token at a time: literal string, hex string, or operator
+# one content-stream token at a time: string, name, operator, number
 _PDF_TOKEN = re.compile(
     rb"\((?:\\.|[^\\()])*\)"  # literal string with escapes
     rb"|<[0-9A-Fa-f\s]*>"      # hex string
+    rb"|/[^\s/<>\[\]()]+"      # name (font selections: /F1 12 Tf)
     rb"|\[|\]"
     rb"|[A-Za-z'\"*]+"         # operators
     rb"|[-+.0-9]+"             # numbers
@@ -90,8 +100,8 @@ _ESCAPES = {
 }
 
 
-def _pdf_literal(tok: bytes) -> str:
-    """Decode a PDF literal string token ``(…)`` (escapes + octal)."""
+def _pdf_literal(tok: bytes) -> bytes:
+    """Raw bytes of a PDF literal string token ``(…)`` (escapes + octal)."""
     body = tok[1:-1]
     out = bytearray()
     i = 0
@@ -110,29 +120,57 @@ def _pdf_literal(tok: bytes) -> str:
             continue
         out += c
         i += 1
-    return out.decode("latin-1")
+    return bytes(out)
 
 
-def _pdf_hex(tok: bytes) -> str:
+def _pdf_hex(tok: bytes) -> bytes:
     hx = re.sub(rb"\s", b"", tok[1:-1])
     if len(hx) % 2:
         hx += b"0"  # PDF spec: odd final digit is padded with 0
-    return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+    return bytes.fromhex(hx.decode("ascii"))
 
 
-def _stream_text(content: bytes) -> str:
+def _cmap_decode(raw: bytes, cmap: "tuple[int, dict[int, str]]") -> str:
+    """Map show-string bytes through a ToUnicode CMap: step ``width`` bytes
+    per code, unmapped codes → U+FFFD (a torn trailing partial code is
+    dropped, matching reader behavior for malformed subset strings)."""
+    width, mapping = cmap
+    return "".join(
+        mapping.get(int.from_bytes(raw[i : i + width], "big"), "�")
+        for i in range(0, len(raw) - width + 1, width)
+    )
+
+
+def _stream_text(
+    content: bytes, fonts: "dict[bytes, tuple[int, dict[int, str]] | None] | None" = None
+) -> str:
     """Shown text of one content stream: strings from Tj/'/TJ in order,
-    newline at line-advance operators."""
+    newline at line-advance operators. ``fonts`` maps resource names
+    (``b'F1'``) to a parsed ToUnicode CMap (or None); ``Tf`` switches the
+    current font, and show strings under a CMap-carrying font decode
+    code-width-wise instead of byte-per-char latin-1."""
     parts: list[str] = []
-    pending: list[str] = []  # strings seen since the last show op
+    pending: list[bytes] = []  # raw string bytes seen since the last show op
+    cur_cmap: "tuple[int, dict[int, str]] | None" = None
+    last_name: bytes | None = None
+
+    def _decode(raws: list[bytes]) -> "list[str]":
+        if cur_cmap is not None:
+            return [_cmap_decode(r, cur_cmap) for r in raws]
+        return [r.decode("latin-1") for r in raws]
+
     for m in _PDF_TOKEN.finditer(content):
         tok = m.group(0)
         if tok.startswith(b"("):
             pending.append(_pdf_literal(tok))
         elif tok.startswith(b"<"):
             pending.append(_pdf_hex(tok))
+        elif tok.startswith(b"/"):
+            last_name = tok[1:]
+        elif tok == b"Tf":
+            cur_cmap = (fonts or {}).get(last_name)
         elif tok in (b"Tj", b"TJ", b"'", b'"'):
-            parts.extend(pending)
+            parts.extend(_decode(pending))
             pending = []
             if tok in (b"'", b'"'):  # show-with-line-advance
                 parts.append("\n")
@@ -191,23 +229,130 @@ def _ref_list(body: bytes, key: bytes) -> list[int]:
     return [r] if r is not None else []
 
 
+def _balanced_dict(body: bytes, key: bytes, objs: dict[int, bytes]) -> bytes | None:
+    """Bytes of ``/Key << … >>`` (balanced ``<< >>`` scan, so nested dicts
+    survive) or the referenced object's body for ``/Key N 0 R``; None when
+    the key is absent."""
+    m = re.search(rb"/" + key + rb"\s*(<<|(\d+)\s+\d+\s+R)", body)
+    if not m:
+        return None
+    if m.group(2) is not None:
+        return objs.get(int(m.group(2)))
+    i = m.start(1)
+    depth, j = 0, i
+    while j < len(body) - 1:
+        two = body[j : j + 2]
+        if two == b"<<":
+            depth += 1
+            j += 2
+        elif two == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return body[i:j]
+        else:
+            j += 1
+    return None
+
+
+def _utf16be_hex(hx: bytes) -> str:
+    if len(hx) % 2:
+        hx = b"0" + hx
+    return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", errors="replace")
+
+
+_BF_ARRAY = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", re.DOTALL)
+_BF_TRIPLE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_BF_PAIR = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+
+
+def _parse_cmap(raw: bytes) -> "tuple[int, dict[int, str]] | None":
+    """ToUnicode CMap → (code byte-width, code → unicode string). Handles
+    ``bfchar`` pairs, ``bfrange`` in base-increment form (ISO 32000-1
+    §9.10.3: the destination's last code unit increments across the range)
+    and array form, and multi-code-unit UTF-16BE destinations (ligatures).
+    Code width comes from ``codespacerange``'s low bound (Identity-H → 2);
+    None when the stream maps nothing."""
+    mapping: dict[int, str] = {}
+    width = None
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", raw, re.DOTALL)
+    if m:
+        hx = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        if hx:
+            width = max(1, len(hx[0]) // 2)
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", raw, re.DOTALL):
+        body = sec.group(1)
+        for lo, _hi, arr in _BF_ARRAY.findall(body):
+            for i, dst in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", arr)):
+                mapping[int(lo, 16) + i] = _utf16be_hex(dst)
+        body = _BF_ARRAY.sub(b"", body)  # keep triples from re-matching array rows
+        for lo, hi, dst in _BF_TRIPLE.findall(body):
+            lo_i, span = int(lo, 16), min(int(hi, 16) - int(lo, 16) + 1, 65536)
+            base, pad = int(dst, 16), len(dst)
+            for i in range(span):
+                mapping[lo_i + i] = _utf16be_hex(b"%0*X" % (pad, base + i))
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", raw, re.DOTALL):
+        for src, dst in _BF_PAIR.findall(sec.group(1)):
+            mapping[int(src, 16)] = _utf16be_hex(dst)
+    if not mapping:
+        return None
+    if width is None:
+        width = 2 if max(mapping) > 0xFF else 1
+    return width, mapping
+
+
+def _page_fonts(
+    objs: dict[int, bytes],
+    resources: bytes | None,
+    cmap_cache: "dict[int, tuple[int, dict[int, str]] | None]",
+) -> "dict[bytes, tuple[int, dict[int, str]] | None] | None":
+    """Resource name → parsed ToUnicode CMap (or None) for a page's
+    ``/Resources /Font`` dict. CMaps are parsed once per font object
+    across the document (``cmap_cache``)."""
+    if resources is None:
+        return None
+    font_dict = _balanced_dict(resources, b"Font", objs)
+    if font_dict is None:
+        return None
+    fonts: "dict[bytes, tuple[int, dict[int, str]] | None]" = {}
+    for fm in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", font_dict):
+        name, fnum = fm.group(1), int(fm.group(2))
+        if fnum not in cmap_cache:
+            cmap = None
+            tu = _ref(objs.get(fnum, b""), b"ToUnicode")
+            if tu is not None:
+                raw = _raw_stream(objs.get(tu, b""))[1]
+                if raw is not None:
+                    cmap = _parse_cmap(raw)
+            cmap_cache[fnum] = cmap
+        fonts[name] = cmap_cache[fnum]
+    return fonts or None
+
+
 def _walk_page_tree(
-    objs: dict[int, bytes], num: int, seen: set[int], out: list[list[int]],
+    objs: dict[int, bytes],
+    num: int,
+    seen: set[int],
+    out: "list[tuple[list[int], bytes | None]]",
     depth: int = 0,
+    inherited_res: bytes | None = None,
 ) -> None:
     """Depth-first /Pages → /Kids recursion collecting each /Type /Page's
-    content-stream refs in tree order (cycle + depth guarded)."""
+    (content-stream refs, effective /Resources) in tree order — Resources
+    inherit from the nearest /Pages ancestor (§7.7.3.4) — cycle + depth
+    guarded."""
     if depth > 64 or num in seen:
         return
     seen.add(num)
     body = objs.get(num)
     if body is None:
         return
+    res = _balanced_dict(body, b"Resources", objs) or inherited_res
     if re.search(rb"/Type\s*/Page\b", body):
-        out.append(_ref_list(body, b"Contents"))
+        out.append((_ref_list(body, b"Contents"), res))
         return
     for kid in _ref_list(body, b"Kids"):
-        _walk_page_tree(objs, kid, seen, out, depth + 1)
+        _walk_page_tree(objs, kid, seen, out, depth + 1, res)
 
 
 def _raw_stream(body: bytes) -> tuple[bytes | None, bytes | None]:
@@ -227,11 +372,14 @@ def _raw_stream(body: bytes) -> tuple[bytes | None, bytes | None]:
     return dict_part, raw
 
 
-def _decode_stream(body: bytes) -> str | None:
+def _decode_stream(
+    body: bytes,
+    fonts: "dict[bytes, tuple[int, dict[int, str]] | None] | None" = None,
+) -> str | None:
     """Text of the object body's content stream ('' when it shows nothing,
     None when there is no stream / an unsupported filter)."""
     raw = _raw_stream(body)[1]
-    return None if raw is None else _stream_text(raw)
+    return None if raw is None else _stream_text(raw, fonts)
 
 
 def _objstm_objects(body: bytes) -> dict[int, bytes]:
@@ -281,15 +429,17 @@ def _pdf_pages_via_tree(data: bytes) -> list[str] | None:
         pages_root = _ref(objs.get(root, b""), b"Pages")
         if pages_root is None:
             return None
-        page_refs: list[list[int]] = []
+        page_refs: "list[tuple[list[int], bytes | None]]" = []
         _walk_page_tree(objs, pages_root, set(), page_refs)
         if not page_refs:
             return None
         out = []
-        for refs in page_refs:
+        cmap_cache: "dict[int, tuple[int, dict[int, str]] | None]" = {}
+        for refs, res in page_refs:
+            fonts = _page_fonts(objs, res, cmap_cache)
             texts = [
                 t for r in refs
-                if (t := _decode_stream(objs.get(r, b""))) is not None
+                if (t := _decode_stream(objs.get(r, b""), fonts)) is not None
             ]
             out.append("".join(texts).strip())
         return out

@@ -274,3 +274,92 @@ def test_binary_spans_feed_reassembly(spark):
     assert row["use_pages"] is True
     assert len(row["pages"]) == 2
     assert "Page two" in row["full_content"] and "Hello world" in row["full_content"]
+
+
+def make_cmap_pdf() -> bytes:
+    """Two-page PDF with a Type0 (Identity-H) font whose ToUnicode CMap
+    exercises every mapping form — bfchar pairs, base-increment bfrange,
+    array bfrange, and a multi-code-unit (ligature) destination — plus a
+    plain simple font, with /Resources INHERITED from the /Pages node
+    (pages carry none). Built spec-forward from ISO 32000-1 §9.10.3."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n"
+        b"<0001> <0048>\n"  # 0x0001 -> 'H'
+        b"<0002> <00660069>\n"  # 0x0002 -> 'fi' (two code units from one CID)
+        b"endbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <0065>\n"  # 0x10..0x12 -> 'e' 'f' 'g' (last unit increments)
+        b"<0020> <0021> [<006C> <006F>]\n"  # 0x20 -> 'l', 0x21 -> 'o'
+        b"endbfrange\n"
+        b"endcmap\nend\n"
+    )
+    cmap_z = zlib.compress(cmap)
+    streams = {
+        # codes 0001 0010 0020 0020 0021 -> Hello; 0002 -> fi; then a
+        # mid-stream switch to the simple font shows latin-1 bytes as-is
+        10: b"BT /F1 12 Tf <00010010002000200021> Tj <0002> Tj /F2 9 Tf (!) Tj ET",
+        11: b"BT /F2 10 Tf (plain latin) Tj ET",
+    }
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (
+            b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 "
+            b"/Resources << /Font << /F1 7 0 R /F2 8 0 R >> >> >>"
+        ),
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 10 0 R >>",
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 11 0 R >>",
+        7: (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Noto "
+            b"/Encoding /Identity-H /ToUnicode 9 0 R >>"
+        ),
+        8: b"<< /Type /Font /Subtype /TrueType /BaseFont /Helvetica >>",
+    }
+    parts = [b"%PDF-1.4\n"]
+    for n, body in objs.items():
+        parts.append(b"%d 0 obj %s endobj\n" % (n, body))
+    parts.append(
+        b"9 0 obj << /Length %d /Filter /FlateDecode >> stream\n%s\nendstream endobj\n"
+        % (len(cmap_z), cmap_z)
+    )
+    for n, s in streams.items():
+        parts.append(
+            b"%d 0 obj << /Length %d >> stream\n%s\nendstream endobj\n" % (n, len(s), s)
+        )
+    parts.append(b"trailer << /Size 12 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    return b"".join(parts)
+
+
+def test_pdf_tounicode_cmap_decodes_cid_text():
+    assert pdf_page_texts(make_cmap_pdf()) == ["Hellofi!", "plain latin"]
+
+
+def test_pdf_cmap_unmapped_code_is_replacement_char():
+    data = make_cmap_pdf().replace(b"<0002>", b"<0099>")  # 0x0099 not mapped
+    assert pdf_page_texts(data)[0] == "Hello�!"
+
+
+def test_pdf_cmap_one_byte_codespace():
+    from azure_blob_crawler_spark.operators.binary_decode import (
+        _parse_cmap,
+        _stream_text,
+    )
+
+    cmap = _parse_cmap(
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<41> <0391>\n<42> <0392>\nendbfchar\n"
+    )
+    assert cmap == (1, {0x41: "Α", 0x42: "Β"})
+    # literal strings route through the CMap too, one byte per code
+    out = _stream_text(b"BT /G1 1 Tf (AB) Tj ET", {b"G1": cmap})
+    assert out == "ΑΒ"
+
+
+def test_pdf_font_without_tounicode_keeps_latin1():
+    # same stream, no fonts resolved -> legacy byte-per-char behavior
+    from azure_blob_crawler_spark.operators.binary_decode import _stream_text
+
+    assert _stream_text(b"BT /F9 12 Tf (caf\xe9) Tj ET") == "caf\xe9"
+    assert _stream_text(b"BT /F9 12 Tf (caf\xe9) Tj ET", {b"F9": None}) == "caf\xe9"
