@@ -9,8 +9,14 @@ Supported profile — the overwhelmingly common one on the web:
   Huffman-coded, 1 (grayscale) or 3 (YCbCr/JFIF) components, any
   sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart markers (DRI/RSTn),
   0xFF00 byte stuffing, multi-table DQT/DHT segments;
+- progressive DCT (SOF2, T.81 Annex G): multi-scan coefficient
+  accumulation with spectral selection + successive approximation — DC
+  first/refinement scans (interleaved or single-component), AC
+  first/refinement scans (per-component, EOB-run across blocks, ZRL and
+  correction-bit semantics per G.2), restart markers resetting EOB runs
+  and DC predictions, final dequantize+IDCT once all scans have landed;
 - NOT supported (raise → per-row ``decode-error`` under
-  ``decode_media_stdlib``, never task death): progressive (SOF2),
+  ``decode_media_stdlib``, never task death): hierarchical (SOF3/5-7),
   arithmetic coding, 12-bit precision, CMYK/4-component.
 
 Decode path per the spec (ITU T.81): marker parse → per-MCU Huffman
@@ -144,6 +150,8 @@ def decode_jpeg_py(data: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (h, w, [(cid, hs, vs, tq), ...])
+    progressive = False
+    coeffs: dict[int, np.ndarray] | None = None  # cid → (bh, bw, 64) zigzag
     i = 2
     while i + 4 <= len(data):
         if data[i] != 0xFF:
@@ -176,9 +184,10 @@ def decode_jpeg_py(data: bytes) -> np.ndarray:
                 tbl = _HuffTable(counts, seg[j + 17 : j + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 j += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 — baseline/extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if seg[0] != 8:
                 raise ValueError(f"{seg[0]}-bit precision unsupported")
+            progressive = marker == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -189,7 +198,7 @@ def decode_jpeg_py(data: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG coding (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
@@ -198,14 +207,36 @@ def decode_jpeg_py(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_tables = {}
+            scan_cids = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cid] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                data, i + 2 + seg_len, frame, scan_tables, qt,
-                huff_dc, huff_ac, restart_interval,
+                scan_cids.append(cid)
+            if not progressive:
+                return _decode_scan(
+                    data, i + 2 + seg_len, frame, scan_tables, qt,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            if coeffs is None:
+                hmax = max(c[1] for c in frame[2])
+                vmax = max(c[2] for c in frame[2])
+                mcux = -(-frame[1] // (8 * hmax))
+                mcuy = -(-frame[0] // (8 * vmax))
+                coeffs = {
+                    cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                    for cid, hs, vs, _ in frame[2]
+                }
+            i = _decode_prog_scan(
+                data, i + 2 + seg_len, frame, scan_cids, scan_tables,
+                ss, se, a >> 4, a & 0x0F, coeffs, huff_dc, huff_ac,
+                restart_interval,
             )
+            continue
         i += 2 + seg_len
+    if progressive and coeffs is not None:
+        return _finish_progressive(frame, coeffs, qt)
     raise ValueError("no SOS segment found")
 
 
@@ -260,10 +291,16 @@ def _decode_scan(data, start, frame, scan_tables, qt, huff_dc, huff_ac, dri):
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_index += 1
 
+    return _assemble(planes, comps, h, w, hmax, vmax)
+
+
+def _assemble(planes, comps, h, w, hmax, vmax):
+    """Pixel planes → final image: crop, nearest-upsample subsampled
+    chroma to the luma grid, JFIF YCbCr→RGB (shared by the sequential and
+    progressive paths)."""
     if len(comps) == 1:
         out = planes[comps[0][0]][:h, :w]
         return np.clip(np.rint(out), 0, 255).astype(np.uint8)
-    # nearest-upsample subsampled components to the luma grid, crop, convert
     full = []
     for cid, hs, vs, _ in comps:
         p = planes[cid]
@@ -276,6 +313,180 @@ def _decode_scan(data, start, frame, scan_tables, qt, huff_dc, huff_ac, dri):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _comp_block_dims(frame, cid):
+    """True (non-MCU-padded) block-grid dims of one component — the
+    traversal grid for single-component (non-interleaved) scans, T.81
+    A.1.1/G.1: ceil(ceil(dim·sampling/max_sampling)/8)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    hs, vs = next((c[1], c[2]) for c in comps if c[0] == cid)
+    bw = -(-(-(-w * hs // hmax)) // 8)
+    bh = -(-(-(-h * vs // vmax)) // 8)
+    return bh, bw
+
+
+def _decode_prog_scan(
+    data, start, frame, scan_cids, scan_tables, ss, se, ah, al,
+    coeffs, huff_dc, huff_ac, dri,
+):
+    """One progressive scan (T.81 Annex G.2) accumulated into ``coeffs``
+    (zigzag-order int32 per block). Returns the offset of the next marker
+    in ``data``."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    reader = _BitReader(data[start:])
+    p1 = 1 << al
+
+    if ss == 0:  # DC scan — interleaved MCU order, or one component's grid
+        if se != 0:
+            raise ValueError("progressive scan with Ss=0 must have Se=0")
+        pred = {cid: 0 for cid in scan_cids}
+        if len(scan_cids) == 1:
+            cid = scan_cids[0]
+            bh, bw = _comp_block_dims(frame, cid)
+            units = [[(cid, idx // bw, idx % bw)] for idx in range(bh * bw)]
+        else:
+            by_cid = {c[0]: (c[1], c[2]) for c in comps}
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for cid in scan_cids:
+                        hs, vs = by_cid[cid]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                unit.append((cid, my * vs + by, mx * hs + bx))
+                    units.append(unit)
+        for u, unit in enumerate(units):
+            if dri and u and u % dri == 0:
+                reader.sync_restart()
+                pred = {cid: 0 for cid in pred}
+            for cid, by, bx in unit:
+                blk = coeffs[cid][by, bx]
+                if ah == 0:
+                    s = huff_dc[scan_tables[cid][0]].decode(reader)
+                    pred[cid] += _extend(reader.bits(s), s)
+                    blk[0] = pred[cid] << al
+                elif reader.bit():
+                    blk[0] |= p1
+    else:  # AC scan — always a single component (G.1.1.1.1)
+        if len(scan_cids) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        cid = scan_cids[0]
+        bh, bw = _comp_block_dims(frame, cid)
+        ac = huff_ac[scan_tables[cid][1]]
+        eobrun = [0]
+        for idx in range(bh * bw):
+            if dri and idx and idx % dri == 0:
+                reader.sync_restart()
+                eobrun[0] = 0
+            blk = coeffs[cid][idx // bw, idx % bw]
+            if ah == 0:
+                _ac_first(blk, reader, ac, ss, se, al, eobrun)
+            else:
+                _ac_refine(blk, reader, ac, ss, se, al, eobrun)
+
+    j = start + reader.pos
+    while j + 1 < len(data) and not (
+        data[j] == 0xFF
+        and data[j + 1] != 0x00
+        and not (0xD0 <= data[j + 1] <= 0xD7)
+    ):
+        j += 1
+    return j
+
+
+def _ac_first(blk, reader, ac, ss, se, al, eobrun):
+    """AC first-pass scan for one block: run-length coefficients at the
+    Al point transform, with EOB runs spanning blocks (G.1.2.2)."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ac.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun[0] = (1 << r) - 1
+            if r:
+                eobrun[0] += reader.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(reader.bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(blk, reader, ac, ss, se, al, eobrun):
+    """AC refinement scan for one block (G.1.2.3 / jdphuff semantics):
+    correction bits for history-nonzero coefficients, new ±1<<Al
+    insertions at zero-history positions, EOB runs covering the band
+    tail's correction bits."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(pos):
+        if reader.bit() and (blk[pos] & p1) == 0:
+            blk[pos] += p1 if blk[pos] >= 0 else m1
+
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = ac.decode(reader)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += reader.bits(r)
+                    break
+                newval = 0  # ZRL: traverse 16 zero-history positions
+            else:
+                newval = p1 if reader.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= se and newval:
+                blk[k] = newval
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _finish_progressive(frame, coeffs, qt):
+    """All scans landed: dequantize + IDCT every block (vectorized across
+    blocks per component) and assemble exactly like the sequential path."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        arr = coeffs[cid]
+        bh, bw = arr.shape[:2]
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[..., ZIGZAG] = arr
+        blocks = nat.reshape(bh, bw, 8, 8) * qt[tq]
+        px = np.einsum("ij,xyjk,kl->xyil", DCT_C.T, blocks, DCT_C) + 128.0
+        planes[cid] = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _assemble(planes, comps, h, w, hmax, vmax)
 
 
 def looks_like_jpeg(data: bytes) -> bool:
