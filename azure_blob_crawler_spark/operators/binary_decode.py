@@ -11,7 +11,10 @@ code at all:
   paragraphs — the surface file_extractor.py:163-171 iterates). Full
   fidelity for the paragraph-text path.
 - **PDF**: a minimal content-stream text extractor for the dominant simple
-  case — uncompressed or ``/FlateDecode`` (``zlib``) streams, text shown
+  case — uncompressed or filtered streams (``/FlateDecode`` via ``zlib``,
+  ``/LZWDecode`` per §7.4.4 with EarlyChange, ``/ASCII85Decode`` and
+  ``/ASCIIHexDecode``, chained in order; ``/Predictor`` and image codecs
+  stay declared limits), text shown
   via ``Tj`` / ``'`` / ``TJ`` with literal ``(…)`` or hex ``<…>``
   strings, newlines at line-advance operators (``Td TD T* '``). Pages
   come from the REAL page tree: the trailer's ``/Root`` (or the
@@ -48,6 +51,7 @@ Arrow-vectorized entry point for ``binaryFile``-sourced crawls.
 
 from __future__ import annotations
 
+import base64
 import io
 import re
 import zipfile
@@ -355,21 +359,92 @@ def _walk_page_tree(
         _walk_page_tree(objs, kid, seen, out, depth + 1, res)
 
 
+def _lzw_decode_pdf(data: bytes) -> bytes:
+    """PDF LZWDecode (ISO 32000-1 §7.4.4): MSB-first variable-width codes
+    starting at 9 bits, Clear=256, EOD=257, EarlyChange=1 (code width grows
+    one code early, at 511/1023/2047)."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code} > {next_code}")
+            out += entry
+            prev = entry
+            # EarlyChange: the encoder bumps when ITS next free code hits
+            # 2^w - 1; the decoder's table lags one entry behind, so it
+            # bumps at 2^w - 2 to stay aligned on the same code boundary
+            # (libtiff's "less 1 for early change").
+            if next_code >= (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+
+
+def _apply_filters(dict_part: bytes, raw: bytes) -> bytes | None:
+    """Run the stream's /Filter chain (name or array, in order):
+    Flate, LZW, ASCII85, ASCIIHex. None for unsupported members
+    (DCTDecode, JPX, ...) or a declared /Predictor — honest limits."""
+    m = _FILTER_RE.search(dict_part)
+    if not m:
+        return raw
+    if re.search(rb"/Predictor\s+([2-9]|1[0-9])", dict_part):
+        return None  # PNG/TIFF predictor post-pass unsupported
+    for f in re.findall(rb"/([A-Za-z0-9]+)", m.group(1)):
+        try:
+            if f == b"FlateDecode" or f == b"Fl":
+                raw = zlib.decompress(raw.strip(b"\r\n"))
+            elif f == b"LZWDecode" or f == b"LZW":
+                raw = _lzw_decode_pdf(raw.strip(b"\r\n"))
+            elif f == b"ASCII85Decode" or f == b"A85":
+                body = re.sub(rb"\s", b"", raw)
+                body = body.removeprefix(b"<~").removesuffix(b"~>").removesuffix(b"~")
+                raw = base64.a85decode(body)
+            elif f == b"ASCIIHexDecode" or f == b"AHx":
+                hx = re.sub(rb"[\s>]", b"", raw)
+                if len(hx) % 2:
+                    hx += b"0"
+                raw = bytes.fromhex(hx.decode("ascii"))
+            else:
+                return None  # DCTDecode, JBIG2, JPX, Crypt — declared limit
+        except (zlib.error, ValueError):
+            return None
+    return raw
+
+
 def _raw_stream(body: bytes) -> tuple[bytes | None, bytes | None]:
-    """(stream dict, inflated stream bytes) of an object body — bytes is
-    None when there is no stream or the filter is unsupported."""
+    """(stream dict, decoded stream bytes) of an object body — bytes is
+    None when there is no stream or the filter chain is unsupported."""
     sm = _STREAM_RE.search(body)
     if not sm:
         return None, None
     dict_part, raw = sm.groups()
-    if b"/FlateDecode" in dict_part:
-        try:
-            raw = zlib.decompress(raw.strip(b"\r\n"))
-        except zlib.error:
-            return dict_part, None
-    elif b"/Filter" in dict_part:
-        return dict_part, None  # unsupported filter (DCT, LZW, ...) — declared limit
-    return dict_part, raw
+    return dict_part, _apply_filters(dict_part, raw)
 
 
 def _decode_stream(
@@ -458,15 +533,9 @@ def pdf_page_texts(data: bytes) -> list[str]:
         return via_tree
     pages = []
     for dict_part, raw in _STREAM_RE.findall(data):
-        body = raw
-        # the regex is non-greedy: trailing EOL before 'endstream' may remain
-        if b"/FlateDecode" in dict_part:
-            try:
-                body = zlib.decompress(body.strip(b"\r\n"))
-            except zlib.error:
-                continue
-        elif b"/Filter" in dict_part:
-            continue  # unsupported filter (DCT, LZW, ...) — declared limit
+        body = _apply_filters(dict_part, raw)
+        if body is None:
+            continue  # unsupported filter chain — declared limit
         text = _stream_text(body).strip()
         if text:
             pages.append(text)

@@ -302,7 +302,7 @@ def _lzw_decode_gif(min_code_size: int, data: bytes) -> bytes:
 def decode_gif_py(data: bytes) -> np.ndarray:
     """GIF87a/89a first frame → uint8 RGB array (h, w, 3): logical-screen
     + color-table parse, extension-block skip, LZW decompress, palette
-    lookup. Interlaced frames raise (surfaced per-row)."""
+    lookup, 4-pass de-interlace."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     gw = int.from_bytes(data[6:8], "little")
@@ -331,8 +331,6 @@ def decode_gif_py(data: bytes) -> np.ndarray:
                 n = 2 ** ((ipacked & 0x07) + 1)
                 pal = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=i).reshape(n, 3)
                 i += 3 * n
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF unsupported")
             if pal is None:
                 raise ValueError("GIF frame without a color table")
             min_code = data[i]
@@ -346,7 +344,16 @@ def decode_gif_py(data: bytes) -> np.ndarray:
             idx = np.frombuffer(
                 _lzw_decode_gif(min_code, bytes(lzw)), dtype=np.uint8, count=w * h
             )
-            return pal[idx.reshape(h, w)]
+            rows = idx.reshape(h, w)
+            if ipacked & 0x40:  # interlaced: stored as 4 row passes (8/8, 8/8+4, 4/4+2, 2/2+1)
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2),
+                ])
+                de = np.empty_like(rows)
+                de[order] = rows
+                rows = de
+            return pal[rows]
         elif b == 0x3B:  # trailer
             break
         else:

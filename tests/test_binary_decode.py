@@ -363,3 +363,97 @@ def test_pdf_font_without_tounicode_keeps_latin1():
 
     assert _stream_text(b"BT /F9 12 Tf (caf\xe9) Tj ET") == "caf\xe9"
     assert _stream_text(b"BT /F9 12 Tf (caf\xe9) Tj ET", {b"F9": None}) == "caf\xe9"
+
+
+def _lzw_encode_pdf(data: bytes) -> bytes:
+    """Spec-forward PDF/TIFF LZW encoder (ISO 32000-1 §7.4.4, EarlyChange=1):
+    MSB-first variable-width codes, Clear first, string-table build, width
+    bump one code early (when the next free code reaches 2^w - 1)."""
+    bits: list[int] = []
+    width = 9
+
+    def emit(code):
+        bits.extend(((code >> (width - 1 - k)) & 1) for k in range(width))
+
+    emit(256)  # Clear
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    s = b""
+    for ch in data:
+        c = bytes([ch])
+        if s + c in table:
+            s += c
+            continue
+        emit(table[s])
+        table[s + c] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        s = c
+    if s:
+        emit(table[s])
+    emit(257)  # EOD
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        chunk = bits[i : i + 8]
+        byte = 0
+        for b in chunk:
+            byte = (byte << 1) | b
+        byte <<= 8 - len(chunk)
+        out.append(byte)
+    return bytes(out)
+
+
+def test_pdf_lzw_decode_roundtrip():
+    from azure_blob_crawler_spark.operators.binary_decode import _lzw_decode_pdf
+
+    for payload in (
+        b"ABABABABABAB",
+        b"BT (lzw page) Tj ET" * 40,
+        bytes(range(256)) * 30,  # > 510 table entries → 9→10-bit width bump
+        b"",
+    ):
+        assert _lzw_decode_pdf(_lzw_encode_pdf(payload)) == payload
+
+
+def test_pdf_filter_chains():
+    """Streams through /LZWDecode, /ASCII85Decode, /ASCIIHexDecode and the
+    chained [/ASCII85Decode /FlateDecode] form all decode; an unsupported
+    chain member or /Predictor drops the stream, not the document."""
+    import base64
+
+    content = b"BT (filtered page) Tj ET"
+    lzw = _lzw_encode_pdf(content)
+    a85_flate = base64.a85encode(zlib.compress(content)) + b"~>"
+    ahx = content.hex().encode() + b">"
+
+    def pdf_with(stream: bytes, filt: bytes) -> bytes:
+        return (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+            + b"4 0 obj << /Length %d /Filter %s >> stream\n%s\nendstream endobj\n"
+            % (len(stream), filt, stream)
+            + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+        )
+
+    from azure_blob_crawler_spark.operators.binary_decode import pdf_page_texts
+
+    assert pdf_page_texts(pdf_with(lzw, b"/LZWDecode")) == ["filtered page"]
+    assert pdf_page_texts(
+        pdf_with(base64.a85encode(content) + b"~>", b"/ASCII85Decode")
+    ) == ["filtered page"]
+    assert pdf_page_texts(pdf_with(ahx, b"/ASCIIHexDecode")) == ["filtered page"]
+    assert pdf_page_texts(
+        pdf_with(a85_flate, b"[/ASCII85Decode /FlateDecode]")
+    ) == ["filtered page"]
+    # unsupported member → stream skipped, no crash
+    assert pdf_page_texts(pdf_with(b"\xff\xd8junk", b"/DCTDecode")) == [""]
+    # declared predictor limit
+    assert pdf_page_texts(
+        pdf_with(
+            zlib.compress(content),
+            b"/FlateDecode /DecodeParms << /Predictor 12 /Columns 8 >>",
+        )
+    ) == [""]

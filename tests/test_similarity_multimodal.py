@@ -182,10 +182,21 @@ def _make_png(img: np.ndarray, ctype: int, filters: list[int], plte: bytes = b""
     return MM.PNG_SIG + body + _png_chunk(b"IEND", b"")
 
 
-def _make_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
+def _interlace_rows(h: int) -> np.ndarray:
+    """GIF 4-pass interlace storage order of display rows."""
+    return np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+
+
+def _make_gif(idx: np.ndarray, palette: np.ndarray, interlace: bool = False) -> bytes:
     """Minimal GIF89a encoder: literal LZW codes only, mirroring the
-    decoder's width-growth rule so widths stay in sync."""
+    decoder's width-growth rule so widths stay in sync; optional 4-pass
+    interlaced row storage."""
     h, w = idx.shape
+    if interlace:
+        idx = idx[_interlace_rows(h)]
     n_pal = len(palette)
     pal_bits = max(1, (n_pal - 1).bit_length())
     pal_size = 1 << pal_bits
@@ -195,7 +206,9 @@ def _make_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
     out += bytes([0x80 | (pal_bits - 1), 0, 0]) + gct.tobytes()
     out += b"\x21\xfe\x05hello\x00"  # comment extension (must be skipped)
-    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    ipacked = 0x40 if interlace else 0x00
+    out += (b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little") + bytes([ipacked]))
     min_code = max(2, pal_bits)
     clear, end = 1 << min_code, (1 << min_code) + 1
     out += bytes([min_code])
@@ -332,6 +345,19 @@ def test_decode_gif_lzw_exact():
     # wide image crossing the 255-byte sub-block boundary
     idx2 = rng.integers(0, 8, size=(40, 30), dtype=np.uint8)
     assert np.array_equal(MM.decode_gif_py(_make_gif(idx2, pal)), pal[idx2])
+
+
+def test_decode_gif_interlaced():
+    rng = np.random.default_rng(8)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    for h in (13, 16, 3, 1):  # odd, multiple-of-8, tiny, single-row
+        idx = rng.integers(0, 8, size=(h, 9), dtype=np.uint8)
+        data = _make_gif(idx, pal, interlace=True)
+        assert np.array_equal(MM.decode_gif_py(data), pal[idx]), h
+        # storage order genuinely differs from display order past 4 rows
+        if h >= 5:
+            plain = _make_gif(idx, pal, interlace=False)
+            assert data != plain
 
 
 def test_decode_media_stdlib_png_gif_rows(spark):
