@@ -13,7 +13,8 @@ code at all:
 - **PDF**: a minimal content-stream text extractor for the dominant simple
   case — uncompressed or filtered streams (``/FlateDecode`` via ``zlib``,
   ``/LZWDecode`` per §7.4.4 with EarlyChange, ``/ASCII85Decode`` and
-  ``/ASCIIHexDecode``, chained in order; ``/Predictor`` and image codecs
+  ``/ASCIIHexDecode``, chained in order; 8-bit ``/Predictor`` 2/PNG
+  post-passes invert via the PNG decoder's shared unfilter; image codecs
   stay declared limits), text shown
   via ``Tj`` / ``'`` / ``TJ`` with literal ``(…)`` or hex ``<…>``
   strings, newlines at line-advance operators (``Td TD T* '``). Pages
@@ -58,6 +59,7 @@ import zipfile
 import zlib
 from xml.etree import ElementTree
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -406,21 +408,77 @@ def _lzw_decode_pdf(data: bytes) -> bytes:
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 
 
+def _decode_parms(dict_part: bytes) -> "dict[str, int] | None":
+    """Predictor parameters from /DecodeParms (or /DP): Predictor,
+    Columns, Colors, BitsPerComponent with spec defaults."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*<<(.*?)>>", dict_part, re.DOTALL)
+    if not m:
+        return None
+    d = m.group(1)
+
+    def g(key: bytes, default: int) -> int:
+        mm = re.search(rb"/" + key + rb"\s+(\d+)", d)
+        return int(mm.group(1)) if mm else default
+
+    return {
+        "pred": g(b"Predictor", 1),
+        "columns": g(b"Columns", 1),
+        "colors": g(b"Colors", 1),
+        "bpc": g(b"BitsPerComponent", 8),
+    }
+
+
+def _unpredict(raw: bytes, parms: "dict[str, int]") -> bytes | None:
+    """Invert the /Predictor post-pass on Flate/LZW output (§7.4.4.4):
+    2 = TIFF horizontal differencing, ≥10 = PNG row filters (tag byte per
+    row, shared with the PNG decoder's unfilter). 8-bit components only;
+    None signals unsupported."""
+    pred, columns, colors, bpc = (
+        parms["pred"], parms["columns"], parms["colors"], parms["bpc"],
+    )
+    if pred <= 1:
+        return raw
+    if bpc != 8:
+        return None
+    stride = columns * colors
+    if pred == 2:  # TIFF: per-component left-delta → cumsum along the row
+        n = len(raw) // stride
+        arr = np.frombuffer(raw, np.uint8, n * stride).reshape(n, columns, colors)
+        return np.add.accumulate(arr, axis=1, dtype=np.uint8).tobytes()
+    if pred >= 10:  # PNG filters, one tag byte per row
+        from azure_blob_crawler_spark.operators.multimodal import _unfilter_png
+
+        n = len(raw) // (1 + stride)
+        rows = np.frombuffer(raw, np.uint8, n * (1 + stride)).reshape(n, 1 + stride)
+        try:
+            return _unfilter_png(rows, max(1, colors)).tobytes()
+        except ValueError:
+            return None
+    return None
+
+
 def _apply_filters(dict_part: bytes, raw: bytes) -> bytes | None:
     """Run the stream's /Filter chain (name or array, in order):
-    Flate, LZW, ASCII85, ASCIIHex. None for unsupported members
-    (DCTDecode, JPX, ...) or a declared /Predictor — honest limits."""
+    Flate, LZW (with optional /Predictor post-pass), ASCII85, ASCIIHex.
+    None for unsupported members (DCTDecode, JPX, ...) — honest limits."""
     m = _FILTER_RE.search(dict_part)
     if not m:
         return raw
-    if re.search(rb"/Predictor\s+([2-9]|1[0-9])", dict_part):
-        return None  # PNG/TIFF predictor post-pass unsupported
+    parms = _decode_parms(dict_part)
     for f in re.findall(rb"/([A-Za-z0-9]+)", m.group(1)):
         try:
             if f == b"FlateDecode" or f == b"Fl":
                 raw = zlib.decompress(raw.strip(b"\r\n"))
+                if parms:
+                    raw = _unpredict(raw, parms)
+                    if raw is None:
+                        return None
             elif f == b"LZWDecode" or f == b"LZW":
                 raw = _lzw_decode_pdf(raw.strip(b"\r\n"))
+                if parms:
+                    raw = _unpredict(raw, parms)
+                    if raw is None:
+                        return None
             elif f == b"ASCII85Decode" or f == b"A85":
                 body = re.sub(rb"\s", b"", raw)
                 body = body.removeprefix(b"<~").removesuffix(b"~>").removesuffix(b"~")

@@ -450,10 +450,57 @@ def test_pdf_filter_chains():
     ) == ["filtered page"]
     # unsupported member → stream skipped, no crash
     assert pdf_page_texts(pdf_with(b"\xff\xd8junk", b"/DCTDecode")) == [""]
-    # declared predictor limit
+
+
+def test_pdf_predictors():
+    """Flate output carrying a /Predictor post-pass: PNG Up rows (tag 2)
+    and TIFF horizontal differencing, both built forward per §7.4.4.4."""
+    from azure_blob_crawler_spark.operators.binary_decode import pdf_page_texts
+    import numpy as np
+
+    content = b"BT (predicted page) Tj ET"
+    cols = 8
+    padded = content + b" " * (-len(content) % cols)
+    rows = np.frombuffer(padded, np.uint8).reshape(-1, cols)
+    # forward PNG Up filter: row - previous row (mod 256), tag byte 2
+    prev = np.zeros(cols, np.uint8)
+    png_rows = bytearray()
+    for r in rows:
+        png_rows += b"\x02" + (r - prev).tobytes()
+        prev = r
+    # forward TIFF predictor 2: per-row horizontal difference
+    tiff = np.concatenate(
+        [rows[:, :1], (rows[:, 1:] - rows[:, :-1])], axis=1
+    ).tobytes()
+
+    def pdf_with(stream: bytes, filt: bytes) -> bytes:
+        return (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+            + b"4 0 obj << /Length %d /Filter %s >> stream\n%s\nendstream endobj\n"
+            % (len(stream), filt, stream)
+            + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+        )
+
     assert pdf_page_texts(
         pdf_with(
-            zlib.compress(content),
+            zlib.compress(bytes(png_rows)),
             b"/FlateDecode /DecodeParms << /Predictor 12 /Columns 8 >>",
+        )
+    ) == ["predicted page"]
+    assert pdf_page_texts(
+        pdf_with(
+            zlib.compress(tiff),
+            b"/FlateDecode /DecodeParms << /Predictor 2 /Columns 8 >>",
+        )
+    ) == ["predicted page"]
+    # 16-bit components stay a declared limit → stream dropped, not a crash
+    assert pdf_page_texts(
+        pdf_with(
+            zlib.compress(bytes(png_rows)),
+            b"/FlateDecode /DecodeParms << /Predictor 12 /Columns 4 "
+            b"/BitsPerComponent 16 >>",
         )
     ) == [""]
