@@ -408,14 +408,10 @@ def _lzw_decode_pdf(data: bytes) -> bytes:
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 
 
-def _decode_parms(dict_part: bytes) -> "dict[str, int] | None":
-    """Predictor parameters from /DecodeParms (or /DP): Predictor,
-    Columns, Colors, BitsPerComponent with spec defaults."""
-    m = re.search(rb"/(?:DecodeParms|DP)\s*<<(.*?)>>", dict_part, re.DOTALL)
-    if not m:
-        return None
-    d = m.group(1)
+_PARMS_UNSUPPORTED = object()  # sentinel: /DecodeParms present but unparseable
 
+
+def _parse_parms_dict(d: bytes) -> "dict[str, int]":
     def g(key: bytes, default: int) -> int:
         mm = re.search(rb"/" + key + rb"\s+(\d+)", d)
         return int(mm.group(1)) if mm else default
@@ -426,6 +422,49 @@ def _decode_parms(dict_part: bytes) -> "dict[str, int] | None":
         "colors": g(b"Colors", 1),
         "bpc": g(b"BitsPerComponent", 8),
     }
+
+
+def _decode_parms_list(dict_part: bytes, filters: "list[bytes]"):
+    """Per-filter predictor parameters from /DecodeParms (or /DP), aligned
+    with the /Filter chain. Three shapes per §7.3.8: direct dict (applies to
+    the chain's predictor-capable filters), array (`[null <<...>>]`, entry i
+    pairing with filter i), and indirect reference (`N 0 R`) — the last is
+    unresolvable here, so it returns ``_PARMS_UNSUPPORTED`` and the caller
+    drops the stream instead of treating undifferenced bytes as valid text."""
+    m = re.search(rb"/(?:DecodeParms|DP)(?![A-Za-z])\s*", dict_part)
+    if not m:
+        return [None] * len(filters)
+    rest = dict_part[m.end():]
+    if rest.startswith(b"<<"):
+        mm = re.match(rb"<<(.*?)>>", rest, re.DOTALL)
+        if not mm:
+            return _PARMS_UNSUPPORTED
+        return [_parse_parms_dict(mm.group(1))] * len(filters)
+    if rest.startswith(b"["):
+        out: "list[dict[str, int] | None]" = []
+        pos = 1
+        while pos < len(rest):
+            ws = re.match(rb"\s+", rest[pos:])
+            if ws:
+                pos += ws.end()
+                continue
+            if rest.startswith(b"]", pos):
+                out.extend([None] * (len(filters) - len(out)))
+                return out
+            if rest.startswith(b"null", pos):
+                out.append(None)
+                pos += 4
+                continue
+            if rest.startswith(b"<<", pos):
+                mm = re.match(rb"<<(.*?)>>", rest[pos:], re.DOTALL)
+                if not mm:
+                    return _PARMS_UNSUPPORTED
+                out.append(_parse_parms_dict(mm.group(1)))
+                pos += mm.end()
+                continue
+            return _PARMS_UNSUPPORTED  # indirect ref or unknown token
+        return _PARMS_UNSUPPORTED  # unterminated array
+    return _PARMS_UNSUPPORTED  # indirect reference (`N 0 R`) or scalar
 
 
 def _unpredict(raw: bytes, parms: "dict[str, int]") -> bytes | None:
@@ -464,8 +503,11 @@ def _apply_filters(dict_part: bytes, raw: bytes) -> bytes | None:
     m = _FILTER_RE.search(dict_part)
     if not m:
         return raw
-    parms = _decode_parms(dict_part)
-    for f in re.findall(rb"/([A-Za-z0-9]+)", m.group(1)):
+    filters = re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+    parms_list = _decode_parms_list(dict_part, filters)
+    if parms_list is _PARMS_UNSUPPORTED:
+        return None
+    for f, parms in zip(filters, parms_list):
         try:
             if f == b"FlateDecode" or f == b"Fl":
                 raw = zlib.decompress(raw.strip(b"\r\n"))

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from azure_blob_crawler_spark.functions.text import TOKEN_PATTERN, fingerprint
+from azure_blob_crawler_spark.parallel import fan_out
 
 
 # --- exact ---------------------------------------------------------------
@@ -64,22 +65,61 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = 64, shingle_k: int = 5
 ) -> DataFrame:
     """(id, sig: array<long>[n_hashes]) — minhash over word shingles,
-    all in the JVM: hash h_i(s) = xxhash64(i, s), sig[i] = min over shingles."""
-    def hasher(seed: int):
-        # one-arg lambda required: a two-arg lambda would be interpreted by
-        # transform() as (element, index) and shadow the seed
-        return lambda s: F.xxhash64(F.lit(seed), s)
+    all in the JVM: each shingle string is hashed ONCE (h = xxhash64(s)),
+    then the per-seed family derives from the 8-byte base hash
+    (h_i(s) = xxhash64(i, h)), sig[i] = min over shingles.
 
-    # materialize the shingle array once as a column — 64 array_min
-    # expressions over one shared array, instead of 64 re-evaluations of the
-    # shingling (Catalyst does not CSE across independent projections)
-    with_sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("__sh")
+    r6 shape change (same minhash semantics, different — still uniform and
+    seed-independent — hash family): the former form evaluated
+    ``xxhash64(i, s)`` for all 64 seeds directly on the shingle STRING, so
+    every ~30-byte shingle was hashed 64× and the plan carried 64 separate
+    array_min(transform(...)) expressions whose whole-stage codegen cost
+    ~3 s of compile on first execution (the frozen bench times exactly that
+    first execution — guide §1.2: per-task work AND plan cost both count).
+    Now the string is hashed once in the JVM and the 64 per-seed values
+    derive from the 8-byte base hash via a vectorized splitmix64 sweep in
+    numpy — exact integer arithmetic, (64 × n_shingles) uint64 ops per row.
+    Recall is family-independent (the band-miss math in q_minhash_recall's
+    docstring is unchanged) and the recall oracle + tests/test_dedup.py pin
+    it against exact Jaccard.
+
+    fan_out first: the per-shingle hashing over a single-row-group scan
+    would otherwise run on one task (guide §2.5; r6: 5.2 s → 0.65 s at
+    sf0.1)."""
+    from pyspark.sql.types import ArrayType
+
+    # materialize the shingle array once as a column (Catalyst does not CSE
+    # across independent projections), then one base hash per shingle
+    with_hs = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+        ).alias("__hs"),
     )
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("__sh"), hasher(i))) for i in range(n_hashes)]
-    )
-    return with_sh.select("id", sig.alias("sig"))
+
+    # splitmix64 finalizer over (base + i·golden): full-avalanche mixing of
+    # the seed lane, all modular uint64 (numpy wraps unsigned arithmetic)
+    golden = np.uint64(0x9E3779B97F4A7C15)
+    seeds = (np.arange(n_hashes, dtype=np.uint64) * golden).reshape(-1, 1)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def min_sig(hs: pd.Series) -> pd.Series:
+        out = []
+        maxsig = [np.iinfo(np.int64).max] * n_hashes
+        for arr in hs:
+            if arr is None or len(arr) == 0:
+                out.append(maxsig)
+                continue
+            x = np.asarray(arr, dtype=np.int64).view(np.uint64) + seeds  # (64, n)
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+            out.append(x.view(np.int64).min(axis=1))
+        return pd.Series(out)
+
+    return with_hs.select("id", min_sig("__hs").alias("sig"))
 
 
 def minhash_signatures_native(
@@ -101,7 +141,7 @@ def minhash_signatures_native(
             10,
         ).cast("long")
 
-    with_sh = df.select(
+    with_sh = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("__sh")
     )
     sig = F.array(
@@ -191,9 +231,12 @@ def minhash_lsh_pairs(
     """Candidate pairs via banded LSH, verified by signature-estimated
     Jaccard. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
 
-    Caller owns caching: ``sigs`` is traversed three times (band explode +
-    both sides of the verify join) — persist it around this call
-    (``minhash_dedup`` does) to avoid recomputing the signatures."""
+    Caller owns caching of ``sigs``: it is still read by both sides of the
+    verify join — materialize it around this call (``minhash_dedup`` does).
+    The banded (band, bucket, id) projection itself is checkpointed here:
+    the self-join would otherwise evaluate the explode+hash pass once per
+    side (r6 plan audit), and the checkpoint is ∝ ids × n_bands of 3
+    longs."""
     rows_per_band = n_hashes // n_bands
     bands = F.explode(
         F.transform(
@@ -217,7 +260,7 @@ def minhash_lsh_pairs(
     # deduplicated candidate set below
     banded = sigs.select("id", bands.alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    ).localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -272,27 +315,29 @@ def minhash_dedup(
     if hasher not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hasher: {hasher}")
     sigfn = minhash_signatures_native if hasher == "md5" else minhash_signatures
-    sigs = sigfn(df, text_col, id_col, n_hashes, shingle_k).persist()
-    try:
-        # collapse window keyed by (hash(sig), sig): the 64-bit hash
-        # short-circuits nearly every comparator call (the full-array key
-        # alone cost q_minhash_dedup +44% at sf0.1); keeping sig in the key
-        # makes the collapse exact even under a hash collision
-        w = Window.partitionBy(F.xxhash64("sig"), "sig").orderBy("id")
-        classed = sigs.withColumn("__rn", F.row_number().over(w))
-        exact_losers = classed.filter(F.col("__rn") > 1).select("id")
-        reps = classed.filter(F.col("__rn") == 1).drop("__rn")
-        pairs = minhash_lsh_pairs(reps, n_bands, n_hashes, threshold)
-        losers = (
-            pairs.select(F.col("id_b").alias("id"))
-            .unionByName(exact_losers)
-            .distinct()
-            # materialize before dropping the signature cache — eager local
-            # checkpoint, not persist: nothing cached outlives the call
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        sigs.unpersist()
+    sigs = sigfn(df, text_col, id_col, n_hashes, shingle_k)
+    # collapse window keyed by (hash(sig), sig): the 64-bit hash
+    # short-circuits nearly every comparator call (the full-array key
+    # alone cost q_minhash_dedup +44% at sf0.1); keeping sig in the key
+    # makes the collapse exact even under a hash collision.
+    # The classed table is materialized ONCE (eager localCheckpoint, which
+    # also materializes the signature pass feeding it): exact_losers, the
+    # band explode and both verify-join sides all read it, and the former
+    # persist-only discipline re-ran the window (≈0.5 s/pass at sf0.1) for
+    # each consumer.
+    w = Window.partitionBy(F.xxhash64("sig"), "sig").orderBy("id")
+    classed = sigs.withColumn("__rn", F.row_number().over(w)).localCheckpoint(eager=True)
+    exact_losers = classed.filter(F.col("__rn") > 1).select("id")
+    reps = classed.filter(F.col("__rn") == 1).drop("__rn")
+    pairs = minhash_lsh_pairs(reps, n_bands, n_hashes, threshold)
+    losers = (
+        pairs.select(F.col("id_b").alias("id"))
+        .unionByName(exact_losers)
+        .distinct()
+        # materialize before the anti-join so the checkpointed classed/banded
+        # intermediates can be dropped by the context cleaner with the plan
+        .localCheckpoint(eager=True)
+    )
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
 
 
@@ -347,25 +392,48 @@ def simhash_signatures_native(df: DataFrame, text_col: str, id_col: str) -> Data
     Each half votes 32 bits; the signed 64-bit signature packs them as
     ``(hi - 2^31) * 2^32 + lo`` — the uniform bit-63 flip keeps every
     pairwise hamming distance identical to the unsigned packing."""
+    # no fan_out here: the numpy voting below makes the per-row cost small,
+    # and splitting a few hundred oracle-tier rows across cores×2 pandas-UDF
+    # tasks costs more in per-task Arrow round-trips than it saves (r6
+    # measurement: 3.7 s vs 2.5 s in-bench). Heavy-corpus callers use the
+    # production make_simhash_udf tier and own their partitioning.
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
     md5s = F.transform(toks, lambda t: F.md5(F.encode(t, "UTF-8")))
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(md5s, lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")).alias("h1"),
         F.transform(md5s, lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")).alias("h2"),
-        F.size(toks).alias("n"),
     )
 
-    def votes(harr: str, b: int):
-        ones = F.size(
-            F.filter(F.col(harr), lambda v: F.shiftrightunsigned(v, b).bitwiseAND(F.lit(1)) == 1)
-        )
-        return F.when(ones * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    # Bit voting + packing as a vectorized numpy pandas UDF over the two
+    # md5-half arrays. The md5 token hashes stay Catalyst-native (that is
+    # the dialect-paired surface the DuckDB oracle reproduces); the voting
+    # is pure exact-integer arithmetic — counts[b] = |{v : bit b set}|,
+    # vote iff 2·counts[b] > n, pack (hi − 2³¹)·2³² + lo — identical to
+    # the former 64-filter column expression, whose whole-stage codegen
+    # blob cost ~2.5 s of compile per fresh plan (r6: sigs 3.25 s cold vs
+    # 0.39 s warm) and whose interpreted HOF evaluation dominated the warm
+    # path too.
+    @F.pandas_udf(LongType())
+    def pack_votes(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        out = np.empty(len(h1s), dtype=np.int64)
+        b32 = np.arange(32, dtype=np.uint64)
+        w = 1 << np.arange(32, dtype=np.int64)
+        for i in range(len(h1s)):
+            a = np.asarray(h1s.iloc[i], dtype=np.uint64)
+            b = np.asarray(h2s.iloc[i], dtype=np.uint64)
+            n = len(a)
+            if n:
+                c1 = ((a[:, None] >> b32) & 1).sum(axis=0)
+                c2 = ((b[:, None] >> b32) & 1).sum(axis=0)
+                hi = int((w * (c1 * 2 > n)).sum())
+                lo = int((w * (c2 * 2 > n)).sum())
+            else:
+                hi = lo = 0
+            out[i] = (hi - (1 << 31)) * (1 << 32) + lo
+        return pd.Series(out)
 
-    hi = sum((votes("h1", b) for b in range(32)), F.lit(0).cast("long"))
-    lo = sum((votes("h2", b) for b in range(32)), F.lit(0).cast("long"))
-    sig = (hi - F.lit(1 << 31).cast("long")) * F.lit(1 << 32).cast("long") + lo
-    return base.select("id", sig.alias("sim"))
+    return base.select("id", pack_votes("h1", "h2").alias("sim"))
 
 
 def simhash_native_sql(expr: str, from_clause: str) -> str:
@@ -472,7 +540,7 @@ def embedding_near_dups(
     tests/test_dedup.py::test_embedding_near_dup_recall."""
     from pyspark.sql.types import ArrayType
 
-    from azure_blob_crawler_spark.functions.vectors import cosine as cos
+    from azure_blob_crawler_spark.functions.vectors import dot, norm
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_bands * band_bits)).astype(np.float64)
@@ -494,11 +562,14 @@ def embedding_near_dups(
 
     # band join on ids only; vectors re-attach to the deduped candidate set
     # straight from the input (NOT via the signature plan — plan audit: that
-    # re-evaluated the LSH UDF once per verify leg)
-    banded = emb.select(
+    # re-evaluated the LSH UDF once per verify leg). The banded table is
+    # materialized once (eager localCheckpoint): the self-join would
+    # otherwise evaluate the LSH UDF + input scan once per side (r6 plan
+    # audit), and the checkpoint is ∝ ids × n_bands of 3 longs.
+    banded = fan_out(emb.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("id"),
         F.posexplode(band_keys(F.col(vec_col))).alias("band", "key"),
-    )
+    ).localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band", "key"])
@@ -506,12 +577,26 @@ def embedding_near_dups(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # per-vector norm computed ONCE per id instead of once per candidate
+    # pair (guide §1.2 "don't compute things you throw away": the verify
+    # pass over C candidates evaluated 2C interpreted 64-element norm
+    # aggregates; this evaluates N). dot/(na*nb) is the exact same double
+    # arithmetic as cosine(va, vb) — norm() is a deterministic function of
+    # the array — so cos_sim values are bit-identical.
+    withn = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    va = withn.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = withn.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos_sim", cos(F.col("va"), F.col("vb")))
+        .withColumn("cos_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

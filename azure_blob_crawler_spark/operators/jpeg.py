@@ -111,6 +111,11 @@ class _BitReader:
                 self.pos += 1
             self.buf = (self.buf << 8) | b
             self.nbits += 8
+        # trim consumed high bits: without this, buf grows one byte per fill
+        # forever and every shift copies the whole bignum — O(n²) in
+        # entropy-data size (a few hundred KB of scan data effectively hangs
+        # the per-row decode instead of finishing)
+        self.buf &= (1 << self.nbits) - 1
 
     def bit(self) -> int:
         if self.nbits == 0:

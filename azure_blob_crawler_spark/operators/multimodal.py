@@ -15,12 +15,14 @@ Codec tiers:
   pixel parse), PNG (zlib-inflated IDAT + per-scanline unfilter, types
   0-4, 8-bit non-interlaced gray/gray+alpha/RGB/RGBA/palette), GIF
   (LZW decompress of the first frame + palette lookup) and baseline
-  JPEG (operators/jpeg.py: Huffman + dequantize + IDCT + chroma
-  upsample + YCbCr→RGB) — each resized true-nearest-neighbor to a
-  thumbnail feature grid. MP4/ISO-BMFF yields REAL structural metadata
-  (box-tree walk: duration, video-track dimensions — what
-  frame_sample_plan consumes) while frame decoding stays stubbed.
-  Formats needing real codec libraries (progressive JPEG, MP3, video
+  AND progressive JPEG (operators/jpeg.py: Huffman + dequantize + IDCT
+  + chroma upsample + YCbCr→RGB; SOF2 spectral-selection/successive-
+  approximation scans per T.81 Annex G) — each resized
+  true-nearest-neighbor to a thumbnail feature grid. MP4/ISO-BMFF and
+  MP3 yield REAL structural metadata (box-tree / frame-header walk:
+  duration, dimensions, bitrate — what frame_sample_plan consumes)
+  while frame/PCM payload decoding stays stubbed. Formats needing real
+  codec libraries (JPEG arithmetic/12-bit/CMYK, MP3 PCM, video
   frames…) come back ``ok = false`` with a reason — the
   DataFrame-native analog of the stub's NotImplementedError.
 - ``decode_media`` — the hard-stub entry: raises NotImplementedError unless

@@ -58,23 +58,47 @@ def bm25_scores(
     if not q_terms:
         return chunks.select(id_col).limit(0).withColumn("score", F.lit(0.0))
     if manage_cache:
-        chunks = chunks.persist()
-    n_docs = chunks.count()
-    avg_len = (
-        chunks.select(F.avg(F.size(_tokens(F.col(content_col)))).alias("a")).collect()[0]["a"]
-        or 1.0
-    )
+        # fan_out: a single-row-group corpus file otherwise tokenizes on one
+        # task (manage_cache callers pass a scan-shaped corpus; cached
+        # callers own their partitioning)
+        from azure_blob_crawler_spark.parallel import fan_out
+
+        chunks = fan_out(chunks).persist()
+    # ONE stats pass (count + avg token length in the same job; the
+    # arithmetic of each aggregate is unchanged) instead of the former
+    # count() + avg() pair — guide §1.2: fewer passes first
+    stats = chunks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(_tokens(F.col(content_col)))).alias("a"),
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    avg_len = stats["a"] or 1.0
     terms_lit = F.array(*[F.lit(t) for t in set(q_terms)])
+    # tokenize ONCE into a column, prune to the query's terms INSIDE the
+    # array, and explode only the survivors: the Generate feeds ~|matches|
+    # rows downstream instead of |all tokens| (identical semantics — a doc
+    # with no matching term vanishes either way, doc_len is the full token
+    # count), and the former plan re-ran the tokenizer once for size() and
+    # once for explode()
+    tok = chunks.select(
+        F.col(id_col).alias(id_col), _tokens(F.col(content_col)).alias("__ts")
+    )
     postings = (
-        chunks.select(
+        tok.select(
             id_col,
-            F.size(_tokens(F.col(content_col))).alias("doc_len"),
-            F.explode(_tokens(F.col(content_col))).alias("term"),
+            F.size("__ts").alias("doc_len"),
+            F.explode(F.filter("__ts", lambda t: F.array_contains(terms_lit, t))).alias(
+                "term"
+            ),
         )
-        .filter(F.array_contains(terms_lit, F.col("term")))
         .groupBy(id_col, "term", "doc_len")
         .agg(F.count("*").alias("tf"))
+        # materialize the (tiny) postings set once: df-by-term and scoring
+        # both read it, which previously re-tokenized the corpus per branch
+        .localCheckpoint(eager=True)
     )
+    if manage_cache:
+        chunks.unpersist()
     df_by_term = postings.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -83,16 +107,12 @@ def bm25_scores(
         F.col("tf")
         + BM25_K1 * (1 - BM25_B + BM25_B * F.col("doc_len") / F.lit(float(avg_len)))
     )
-    scored = (
+    return (
         postings.join(F.broadcast(df_by_term), "term")
         .withColumn("term_score", idf * tf_norm)
         .groupBy(id_col)
         .agg(F.sum("term_score").alias("score"))
     )
-    if manage_cache:
-        scored = scored.localCheckpoint(eager=True)
-        chunks.unpersist()
-    return scored
 
 
 def text_search(
@@ -190,14 +210,37 @@ def hybrid_search(
     the two ranking legs, the fused ≤top (id, score) set is materialized,
     the cache is released, and the projection join replays lineage once."""
     chunks = chunks.persist()  # consumed by both rankers + the result join
-    t = text_search(
-        chunks, query_text, top=pool, content_col=content_col, id_col=id_col,
-        _caller_cached=True, index=index,
-    )
-    v = vector_search(
-        chunks, query_vector=query_vector, query_text=query_text, top=pool,
-        vector_col=vector_col, id_col=id_col, embed_dim=embed_dim,
-    )
+    # Leg scores are computed DIRECTLY as (id, score) sets — the former
+    # text_search/vector_search calls joined the scores back onto the full
+    # corpus row and sorted it, only for the rank step to project (id,
+    # score) back out: a wasted broadcast join + sort per leg (r6 plan
+    # audit). Values are unchanged — the same scorer runs on the same
+    # input, and for the index tier the same inner-join-with-chunks
+    # membership is applied (as a semi-join) after the same pool limit.
+    if index is not None:
+        tscore = index.bm25(query_text)
+        if id_col != "chunk_id":
+            tscore = tscore.withColumnRenamed("chunk_id", id_col)
+    else:
+        tscore = bm25_scores(chunks, query_text, content_col, id_col, manage_cache=False)
+    if pool is not None:
+        tscore = tscore.orderBy(F.desc("score"), F.asc(id_col)).limit(
+            min(pool, config.MAX_TOP)
+        )
+    if index is not None:
+        tscore = tscore.join(chunks.select(id_col), id_col, "left_semi")
+    t = tscore.select(id_col, "score").localCheckpoint(eager=True)
+
+    if query_vector is None:
+        query_vector = embed_query(query_text, embed_dim)
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    vscore = chunks.select(id_col, cosine(F.col(vector_col), qv).alias("score"))
+    if pool is not None:
+        vscore = vscore.orderBy(F.desc("score"), F.asc(id_col)).limit(
+            min(pool, config.MAX_TOP)
+        )
+    v = vscore.select(id_col, "score").localCheckpoint(eager=True)
+
     rank_key = (
         F.round(F.col("score"), rank_rounding) if rank_rounding is not None
         else F.col("score")
@@ -205,16 +248,22 @@ def hybrid_search(
     # global leg ranks via the two-phase sequence operator: the pool=None
     # (full-corpus, oracle-determinism) configuration no longer funnels the
     # whole corpus through one window task; pooled legs keep the bounded
-    # single-task sort
+    # single-task sort. The legs are checkpointed above, so a cheap count
+    # turns a small leg (the common case — score sets are ∝ matching docs,
+    # not corpus) into the constant-partition window instead of the
+    # two-phase machinery's extra jobs; a big leg still two-phases with its
+    # input already materialized. The assigned ranks are identical either
+    # way (assign_global_seq contract).
     order = [rank_key.desc(), F.asc(id_col)]
-    # rank over the (id, score) projection only — the two-phase path
-    # materializes its input, and the corpus text columns have no business
-    # in that checkpoint
     tr = assign_global_seq(
-        t.select(id_col, "score"), order, "rank_text", bounded_rows=pool
+        t, order, "rank_text",
+        bounded_rows=pool if pool is not None else t.count(),
+        input_materialized=True,
     ).select(id_col, "rank_text")
     vr = assign_global_seq(
-        v.select(id_col, "score"), order, "rank_vec", bounded_rows=pool
+        v, order, "rank_vec",
+        bounded_rows=pool if pool is not None else v.count(),
+        input_materialized=True,
     ).select(id_col, "rank_vec")
     fused = (
         tr.join(vr, id_col, "full_outer")

@@ -85,10 +85,7 @@ class TextSearchIndex:
         other crawl-round commit. Returns the docs-table commit summary."""
         prev = self._summary()
         gen = int(prev.get("gen", 0)) + 1
-        toks = chunks.select(
-            F.col(id_col).alias("chunk_id"),
-            _tokens(F.col(content_col)).alias("__ts"),
-        )
+        toks = self._toks(chunks, id_col, content_col).persist()
         doc_rows = toks.select(
             "chunk_id", F.size("__ts").alias("doc_len"), F.lit(gen).alias("gen"),
             self._tb_mask_expr().alias("tb_mask"),
@@ -114,6 +111,7 @@ class TextSearchIndex:
                 n_buckets=self.n_term_buckets, bucket_by="term",
             )
             doc_rows.unpersist()
+            toks.unpersist()
             return self.store.summary(self.docs)
 
         # replaced chunks' old lengths + term-bucket masks, via a
@@ -140,6 +138,7 @@ class TextSearchIndex:
         self.store.merge(self.postings, post_rows)
         out = self.store.merge(self.docs, doc_rows, summary=summary)
         doc_rows.unpersist()
+        toks.unpersist()
         return out
 
     def rebuild(
@@ -153,10 +152,7 @@ class TextSearchIndex:
         index rebuild via full re-upload); old versions stay time-travelable
         until expire_snapshots."""
         gen = self._next_gen_for_rebuild()
-        toks = chunks.select(
-            F.col(id_col).alias("chunk_id"),
-            _tokens(F.col(content_col)).alias("__ts"),
-        )
+        toks = self._toks(chunks, id_col, content_col).persist()
         doc_rows = toks.select(
             "chunk_id", F.size("__ts").alias("doc_len"), F.lit(gen).alias("gen"),
             self._tb_mask_expr().alias("tb_mask"),
@@ -180,7 +176,21 @@ class TextSearchIndex:
             n_buckets=self.n_term_buckets, bucket_by="term",
         )
         doc_rows.unpersist()
+        toks.unpersist()
         return summary
+
+    def _toks(self, chunks: DataFrame, id_col: str, content_col: str) -> DataFrame:
+        """(chunk_id, __ts) tokenization of the delta — fanned out (a
+        single-row-group delta otherwise tokenizes on one task; no-op when
+        the delta already carries enough partitions) and persisted by the
+        caller so doc_rows and post_rows share ONE tokenizer pass."""
+        from azure_blob_crawler_spark.parallel import fan_out
+
+        return fan_out(
+            chunks.select(
+                F.col(id_col).alias("chunk_id"), F.col(content_col).alias("__content")
+            )
+        ).select("chunk_id", _tokens(F.col("__content")).alias("__ts"))
 
     def _next_gen_for_rebuild(self) -> int:
         return int(self._summary().get("gen", 0)) + 1
@@ -365,8 +375,15 @@ class TextSearchIndex:
     def _agg_len_mask(self, doc_rows: DataFrame) -> tuple[int, int, int]:
         """(count, sum(doc_len), bit_or(tb_mask)) in one job; rows from an
         index created before tb_mask existed count as 'any bucket' (-1)."""
+        # per-row NULL tb_mask (docs parquet written before the column
+        # existed, read back as NULL under a merged schema) must count as
+        # 'any bucket': coalesce each row to -1 BEFORE the bit_or, otherwise
+        # bit_or skips the nulls and a replace/delete of legacy rows marks
+        # dirty without adding their postings buckets to dirty_pb — vacuum
+        # would then purge only the tracked buckets and serve stale postings
         mask_col = (
-            F.bit_or("tb_mask") if "tb_mask" in doc_rows.columns
+            F.bit_or(F.coalesce(F.col("tb_mask"), F.lit(-1).cast("long")))
+            if "tb_mask" in doc_rows.columns
             else F.lit(-1).cast("long")
         )
         r = doc_rows.agg(

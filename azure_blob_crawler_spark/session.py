@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import os
 
+import pandas  # noqa: F401 — resolvable annotation target for the warm-up UDF
+
 from pyspark.sql import SparkSession
 
 
@@ -40,4 +42,31 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _warm_python_workers(spark)
+    return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Spawn the Python UDF worker daemon once at session construction.
+
+    The first pandas-UDF job in a session pays daemon startup + Arrow init
+    (~1-2 s measured); without this it lands on whichever operator happens
+    to hit Python first. One tiny identity-UDF job moves that cost into
+    session setup — pure engine warm-up, no query data touched."""
+    if getattr(spark, "_py_workers_warm", False):
+        return
+    try:
+        from pyspark.sql import functions as F
+
+        @F.pandas_udf("long")
+        def _ident(s: "pandas.Series") -> "pandas.Series":
+            return s
+
+        n = spark.sparkContext.defaultParallelism
+        spark.range(n, numPartitions=n).select(_ident("id")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        spark._py_workers_warm = True
+    except Exception:
+        pass  # warm-up is best-effort; never block session creation
