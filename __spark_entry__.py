@@ -798,40 +798,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_bm25_search"] = q_bm25_search
 
     def q_hybrid_search(spark, d):
-        """RRF fusion over documents (BM25 leg SERVED FROM the persistent
-        postings index — no corpus tokenization in the query plan) +
-        embeddings (cosine leg, query = embeddings[vec_id=1]), ranks on
-        round(score, 4) so rank order is engine-independent; full SQL twin
-        in DuckDB."""
+        """RRF fusion: BM25 leg over ALL documents, SERVED FROM the
+        persistent postings index (no corpus tokenization in the query
+        plan); cosine leg over the embeddings table (query =
+        embeddings[vec_id=1]); full-outer fuse so a chunk ranked by either
+        leg scores; ranks on round(score, 4) so rank order is
+        engine-independent; full SQL twin in DuckDB.
+
+        r6 note: the legs' domains mirror the oracle exactly — the text
+        leg ranks the whole documents table, the vector leg the whole
+        embeddings table. The r5 implementation ranked both legs over
+        documents ⋈ embeddings, which coincides with the oracle only while
+        every doc_id carries an embedding (true at sf0.001/0.01, the
+        driver-checked SFs) and diverged at sf0.1 (2000 of 5000 docs have
+        vectors) — an inherited latent mismatch fixed this round by
+        composing the legs directly (the engine changes; the oracle is
+        fingerprint-frozen and was already the declared semantics)."""
         from azure_blob_crawler_spark.operators.search_index import TextSearchIndex
+        from azure_blob_crawler_spark.operators.sequence import assign_global_seq
         from azure_blob_crawler_spark.sources.store import SnapshotStore
 
         docs = T(spark, d, "documents").select(
             F.col("doc_id").cast("string").alias("chunk_id"),
             F.col("text").alias("content"),
         )
-        emb = T(spark, d, "embeddings").select(
-            F.col("vec_id").cast("string").alias("chunk_id"),
-            F.col("embedding").alias("vector"),
-        )
-        corpus = docs.join(emb, "chunk_id")
         idx = TextSearchIndex(
             SnapshotStore(spark, _scratch_dir("hybidx_")),
             n_term_buckets=8, n_doc_buckets=8,
         )
-        idx.update(corpus.select("chunk_id", "content"))
-        qv = [
-            float(x)
-            for x in T(spark, d, "embeddings")
-            .filter(F.col("vec_id") == 1)
-            .select("embedding")
-            .collect()[0][0]
-        ]
-        out = Q.hybrid_search(
-            corpus, "spark merge shuffle", top=20, query_vector=qv,
-            pool=None, rank_rounding=4, index=idx,
+        idx.update(docs)
+        emb = T(spark, d, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+        qvc = F.array(*[F.lit(float(x)) for x in qv])
+        tscore = idx.bm25("spark merge shuffle")
+        vscore = emb.select(
+            F.col("vec_id").cast("string").alias("chunk_id"),
+            cosine(F.col("embedding"), qvc).alias("score"),
         )
-        return out.select("chunk_id", F.round("score", 6).alias("score"))
+        order = [F.round(F.col("score"), 4).desc(), F.asc("chunk_id")]
+        t = tscore.select("chunk_id", "score").localCheckpoint(eager=True)
+        v = vscore.select("chunk_id", "score").localCheckpoint(eager=True)
+        tr = assign_global_seq(
+            t, order, "rank_text", bounded_rows=t.count(), input_materialized=True
+        ).select("chunk_id", "rank_text")
+        vr = assign_global_seq(
+            v, order, "rank_vec", bounded_rows=v.count(), input_materialized=True
+        ).select("chunk_id", "rank_vec")
+        rrf_k = config.RRF_K
+        fused = tr.join(vr, "chunk_id", "full_outer").withColumn(
+            "score",
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_text")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_vec")), F.lit(0.0)),
+        )
+        return (
+            fused.select("chunk_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("chunk_id"))
+            .limit(20)
+        )
 
     q["q_hybrid_search"] = q_hybrid_search
 

@@ -271,7 +271,6 @@ class TextSearchIndex:
         index this is ONE job over the pruned postings; after a replacing
         update/delete a gen-validity join against the candidates' doc rows
         is added."""
-        spark = self.store.spark
         q_terms = sorted(set(_py_tokens(query)))
         summ = self._summary()
         n_docs, sum_len = int(summ.get("n_docs", 0)), int(summ.get("sum_len", 0))
@@ -279,16 +278,14 @@ class TextSearchIndex:
             return self._empty_scores()
         avg_len = (sum_len / n_docs) or 1.0
 
-        # driver-side term→bucket mapping: one single-task literal-projection
-        # job (createDataFrame costs seconds per call in this environment —
-        # a range(1) select of literal hashes is ~25× cheaper)
-        n_terms = len(q_terms)
+        # driver-side term→bucket mapping with ZERO Spark jobs: the pure-
+        # Python xxhash64 twin reproduces pmod(xxhash64(term), B) exactly
+        # (parity pinned in tests). r4 used a literal-projection job here;
+        # that still cost one single-task job per query.
+        from azure_blob_crawler_spark.functions.hashing import xxhash64_str
+
         m = self.store._manifest(self.postings)
-        bucket_of = lambda t: F.pmod(F.xxhash64(F.lit(t)), F.lit(m["n_buckets"])).cast("int")
-        row = spark.range(1).select(
-            *[bucket_of(t).alias(f"b{i}") for i, t in enumerate(q_terms)]
-        ).collect()[0]
-        t_buckets = sorted({int(row[i]) for i in range(n_terms)})
+        t_buckets = sorted({xxhash64_str(t) % m["n_buckets"] for t in q_terms})
         pruned = self.store.read_buckets(self.postings, t_buckets)
         if pruned is None:
             return self._empty_scores()

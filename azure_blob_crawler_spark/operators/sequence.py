@@ -25,9 +25,15 @@ from pyspark.sql import functions as F
 
 
 # Inputs bounded under this row count sort comfortably in ONE task — the
-# two-phase machinery (2 extra jobs + a checkpoint) would cost more than it
-# saves. The sequence values are identical either way.
-SMALL_INPUT_ROWS = 1 << 14
+# two-phase machinery (2 eager checkpoints + a counts collect, ~4 extra
+# jobs) would cost more than it saves. The sequence values are identical
+# either way. 2^18 narrow rows is a few tens of MB through one sort task —
+# well under a shuffle partition's normal working set — and every bounded
+# caller (claim_round's round_size, hybrid's pooled legs) has already
+# funneled its rows through a TakeOrdered/limit, so the single window adds
+# no new serial stage the plan didn't have (r6: the 100k-row claim spent
+# ~2.8 s in two-phase bookkeeping vs ~0.1 s in the single window).
+SMALL_INPUT_ROWS = 1 << 18
 
 
 def assign_global_seq(

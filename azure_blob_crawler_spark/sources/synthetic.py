@@ -263,7 +263,12 @@ def documents_with_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans; 2 → docx-like section spans; 3 → text span interleaved with a
     media span. Column shape fixed by BASELINE.json input_hint.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from azure_blob_crawler_spark.parallel import fan_out
+
+    # fan_out: the single-row-group documents file otherwise runs the span
+    # builder and every downstream pandas UDF (extraction, chunker,
+    # embedding) on one task
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
     @F.pandas_udf(SPANS_TYPE)
     def build_spans(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:

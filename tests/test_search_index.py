@@ -274,3 +274,24 @@ def test_crawl_round_maintains_index(spark, tmp_path):
     assert got.keys() == want.keys()
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """The driver-side term→bucket mapping (functions/hashing.py) must be
+    bit-identical to Spark's xxhash64 expression — every length branch of
+    the algorithm: empty, <4, <8, <32, exact/over 32-byte block sizes,
+    multi-byte UTF-8."""
+    from pyspark.sql import functions as F
+
+    from azure_blob_crawler_spark.functions.hashing import xxhash64_str
+
+    cases = [
+        "", "a", "ab", "abc", "abcd", "abcde", "spark", "merge", "shuffle",
+        "x" * 7, "x" * 8, "x" * 9, "y" * 31, "y" * 32, "y" * 33, "z" * 100,
+        "héllo wörld", "naïve—dash", "日本語テキスト",
+    ]
+    row = spark.range(1).select(
+        *[F.xxhash64(F.lit(c)).alias(f"c{i}") for i, c in enumerate(cases)]
+    ).collect()[0]
+    for i, c in enumerate(cases):
+        assert xxhash64_str(c) == row[i], repr(c)
