@@ -71,46 +71,51 @@ def minhash_signatures(
 
     r6 shape change (same minhash semantics, different — still uniform and
     seed-independent — hash family): the former form evaluated
-    ``xxhash64(i, s)`` for all 64 seeds directly on the shingle STRING, so
-    every ~30-byte shingle was hashed 64× and the plan carried 64 separate
-    array_min(transform(...)) expressions whose whole-stage codegen cost
-    ~3 s of compile on first execution (the frozen bench times exactly that
-    first execution — guide §1.2: per-task work AND plan cost both count).
-    Now the string is hashed once in the JVM and the 64 per-seed values
-    derive from the 8-byte base hash via a vectorized splitmix64 sweep in
-    numpy — exact integer arithmetic, (64 × n_shingles) uint64 ops per row.
+    ``xxhash64(i, s)`` for all 64 seeds directly on a Catalyst-built
+    shingle STRING array, so every ~30-byte shingle was hashed 64× and the
+    plan carried 64 separate array_min(transform(...)) expressions whose
+    whole-stage codegen cost ~3 s of compile on FIRST execution (the frozen
+    bench times exactly that first execution — guide §1.2: per-task work
+    AND plan cost both count); even the slimmed single-base-hash JVM form
+    kept a multi-second per-plan analysis/compile term from the shingling
+    HOF tree. The production tier is now ONE Arrow-vectorized pandas UDF
+    (guide §4.2): word shingles built in Python (C-speed split/join,
+    whitespace semantics matching the Catalyst twin for ASCII corpora),
+    one zlib.crc32 base hash per shingle, and the 64 per-seed values
+    derived via a vectorized splitmix64 sweep in numpy — exact integer
+    arithmetic, (64 × n_shingles) uint64 ops per row, ~10-node plan.
     Recall is family-independent (the band-miss math in q_minhash_recall's
     docstring is unchanged) and the recall oracle + tests/test_dedup.py pin
-    it against exact Jaccard.
+    it against exact Jaccard; the md5 oracle tier below stays fully
+    Catalyst-native (its exact values are dialect-paired with DuckDB).
 
     fan_out first: the per-shingle hashing over a single-row-group scan
     would otherwise run on one task (guide §2.5; r6: 5.2 s → 0.65 s at
     sf0.1)."""
     from pyspark.sql.types import ArrayType
 
-    # materialize the shingle array once as a column (Catalyst does not CSE
-    # across independent projections), then one base hash per shingle
-    with_hs = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
-        ).alias("__hs"),
-    )
-
     # splitmix64 finalizer over (base + i·golden): full-avalanche mixing of
     # the seed lane, all modular uint64 (numpy wraps unsigned arithmetic)
     golden = np.uint64(0x9E3779B97F4A7C15)
     seeds = (np.arange(n_hashes, dtype=np.uint64) * golden).reshape(-1, 1)
+    k = shingle_k
 
     @F.pandas_udf(ArrayType(LongType()))
-    def min_sig(hs: pd.Series) -> pd.Series:
+    def min_sig(texts: pd.Series) -> pd.Series:
+        import zlib
+
         out = []
-        maxsig = [np.iinfo(np.int64).max] * n_hashes
-        for arr in hs:
-            if arr is None or len(arr) == 0:
-                out.append(maxsig)
-                continue
-            x = np.asarray(arr, dtype=np.int64).view(np.uint64) + seeds  # (64, n)
+        for t in texts:
+            words = (t or "").lower().split()
+            if len(words) < k:
+                sh = [" ".join(words)]
+            else:
+                sh = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+            base = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in sh),
+                dtype=np.uint64, count=len(sh),
+            )
+            x = base + seeds  # (n_hashes, n_shingles)
             x ^= x >> np.uint64(30)
             x *= np.uint64(0xBF58476D1CE4E5B9)
             x ^= x >> np.uint64(27)
@@ -119,7 +124,9 @@ def minhash_signatures(
             out.append(x.view(np.int64).min(axis=1))
         return pd.Series(out)
 
-    return with_hs.select("id", min_sig("__hs").alias("sig"))
+    return fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), min_sig(F.col(text_col)).alias("sig")
+    )
 
 
 def minhash_signatures_native(

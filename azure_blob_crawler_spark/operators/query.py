@@ -50,41 +50,46 @@ def bm25_scores(
     only* (the term filter prunes before the shuffle), then a broadcast join
     of per-term document frequencies.
 
-    Cache discipline (round-1 advice): with ``manage_cache`` the corpus is
-    persisted for the scoring passes and released once the (id, score) set
-    is materialized — repeated queries in a long-lived session don't
-    accumulate cached corpus partitions."""
+    Cache discipline (round-1 advice): the per-query (id, tokens)
+    projection is cached for the stats + postings passes and released
+    (blocking) before return; the matching-rows postings set is the only
+    materialized remnant (an eager localCheckpoint both downstream
+    consumers read), so repeated queries in a long-lived session don't
+    accumulate cached corpus partitions. ``manage_cache=True`` additionally
+    fans out a scan-shaped corpus (cached callers own their
+    partitioning)."""
     q_terms = [t for t in _py_tokens(query)]
     if not q_terms:
         return chunks.select(id_col).limit(0).withColumn("score", F.lit(0.0))
+    from azure_blob_crawler_spark.parallel import fan_out
+
     if manage_cache:
         # fan_out: a single-row-group corpus file otherwise tokenizes on one
         # task (manage_cache callers pass a scan-shaped corpus; cached
         # callers own their partitioning)
-        from azure_blob_crawler_spark.parallel import fan_out
-
-        chunks = fan_out(chunks).persist()
+        chunks = fan_out(chunks)
+    # tokenize ONCE into a cached (id, tokens) projection: the stats pass
+    # and the postings pass both read it, so the tokenizer runs exactly
+    # once per query (r5 ran it three times: count-adjacent avg pass,
+    # size() and explode())
+    tokd = chunks.select(
+        F.col(id_col).alias(id_col), _tokens(F.col(content_col)).alias("__ts")
+    ).persist()
     # ONE stats pass (count + avg token length in the same job; the
     # arithmetic of each aggregate is unchanged) instead of the former
     # count() + avg() pair — guide §1.2: fewer passes first
-    stats = chunks.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.size(_tokens(F.col(content_col)))).alias("a"),
+    stats = tokd.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("__ts")).alias("a")
     ).collect()[0]
     n_docs = int(stats["n"])
     avg_len = stats["a"] or 1.0
     terms_lit = F.array(*[F.lit(t) for t in set(q_terms)])
-    # tokenize ONCE into a column, prune to the query's terms INSIDE the
-    # array, and explode only the survivors: the Generate feeds ~|matches|
-    # rows downstream instead of |all tokens| (identical semantics — a doc
-    # with no matching term vanishes either way, doc_len is the full token
-    # count), and the former plan re-ran the tokenizer once for size() and
-    # once for explode()
-    tok = chunks.select(
-        F.col(id_col).alias(id_col), _tokens(F.col(content_col)).alias("__ts")
-    )
+    # prune to the query's terms INSIDE the array and explode only the
+    # survivors: the Generate feeds ~|matches| rows downstream instead of
+    # |all tokens| (identical semantics — a doc with no matching term
+    # vanishes either way, doc_len is the full token count)
     postings = (
-        tok.select(
+        tokd.select(
             id_col,
             F.size("__ts").alias("doc_len"),
             F.explode(F.filter("__ts", lambda t: F.array_contains(terms_lit, t))).alias(
@@ -97,8 +102,9 @@ def bm25_scores(
         # both read it, which previously re-tokenized the corpus per branch
         .localCheckpoint(eager=True)
     )
-    if manage_cache:
-        chunks.unpersist()
+    # blocking: the token cache must be gone before the caller's next
+    # query, not whenever the async unpersist lands (cache-discipline test)
+    tokd.unpersist(blocking=True)
     df_by_term = postings.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0

@@ -78,14 +78,19 @@ class TextSearchIndex:
         return self.store.summary(self.docs) if self.exists() else {}
 
     def update(
-        self, chunks: DataFrame, id_col: str = "chunk_id", content_col: str = "content"
+        self, chunks: DataFrame, id_col: str = "chunk_id", content_col: str = "content",
+        approx_rows: int | None = None,
     ) -> dict:
         """Index (or re-index) a delta of chunks. One tokenization pass over
         the DELTA only; postings + docs MERGEs are ∝ the delta like every
-        other crawl-round commit. Returns the docs-table commit summary."""
+        other crawl-round commit. Returns the docs-table commit summary.
+
+        ``approx_rows``: delta row count when the caller already knows it
+        (the crawl round counts its chunk delta) — lets the tokenizer skip
+        the fan-out for small deltas (parallel.fan_out rows_hint)."""
         prev = self._summary()
         gen = int(prev.get("gen", 0)) + 1
-        toks = self._toks(chunks, id_col, content_col).persist()
+        toks = self._toks(chunks, id_col, content_col, approx_rows).persist()
         doc_rows = toks.select(
             "chunk_id", F.size("__ts").alias("doc_len"), F.lit(gen).alias("gen"),
             self._tb_mask_expr().alias("tb_mask"),
@@ -179,17 +184,22 @@ class TextSearchIndex:
         toks.unpersist()
         return summary
 
-    def _toks(self, chunks: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    def _toks(
+        self, chunks: DataFrame, id_col: str, content_col: str,
+        approx_rows: int | None = None,
+    ) -> DataFrame:
         """(chunk_id, __ts) tokenization of the delta — fanned out (a
         single-row-group delta otherwise tokenizes on one task; no-op when
-        the delta already carries enough partitions) and persisted by the
-        caller so doc_rows and post_rows share ONE tokenizer pass."""
+        the delta already carries enough partitions or is known-small) and
+        persisted by the caller so doc_rows and post_rows share ONE
+        tokenizer pass."""
         from azure_blob_crawler_spark.parallel import fan_out
 
         return fan_out(
             chunks.select(
                 F.col(id_col).alias("chunk_id"), F.col(content_col).alias("__content")
-            )
+            ),
+            rows_hint=approx_rows,
         ).select("chunk_id", _tokens(F.col("__content")).alias("__ts"))
 
     def _next_gen_for_rebuild(self) -> int:

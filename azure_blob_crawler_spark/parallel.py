@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out(df: DataFrame, per_core: int = 2) -> DataFrame:
+# fanning a delta below this many rows per target partition costs more in
+# per-task overhead (scheduling, Arrow round-trips) than the parallelism
+# returns — measured on the crawl's per-round index update, where fanning
+# ~150-row deltas into cores×2 partitions cost ~+30% per round
+MIN_ROWS_PER_TASK = 32
+
+
+def fan_out(df: DataFrame, per_core: int = 2, rows_hint: int | None = None) -> DataFrame:
     """Round-robin repartition to ``per_core × defaultParallelism`` when the
     input is under-partitioned; identity otherwise.
 
@@ -32,9 +39,16 @@ def fan_out(df: DataFrame, per_core: int = 2) -> DataFrame:
     wide. ``getNumPartitions`` is plan metadata — no job. Callers must pass
     a scan/base DataFrame (no upstream shuffle), so the RDD conversion never
     triggers adaptive-stage execution.
+
+    ``rows_hint``: callers that already know the input's row count (e.g. a
+    crawl round's counted chunk delta) pass it so a small delta is NOT
+    fanned — partition count says nothing about row count, and 64 tasks of
+    two rows each is pure overhead. ``None`` (unknown) fans out.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * per_core
+    if rows_hint is not None and rows_hint < target * MIN_ROWS_PER_TASK:
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -296,7 +296,7 @@ class CrawlRunner:
         # Search index, search_client.py:70-121); a crash before the frontier
         # commit replays the round and re-MERGEs the same keys idempotently
         if self.maintain_text_index and n_chunks:
-            self.search_index.update(chunks)
+            self.search_index.update(chunks, approx_rows=n_chunks)
 
         # 5. doc metadata (document_processor.py:327-336 analogue)
         meta = (

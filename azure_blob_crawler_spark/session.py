@@ -104,6 +104,24 @@ def _warm_engine(spark: SparkSession) -> None:
         w = Window.partitionBy(F.pmod(F.col("id"), F.lit(5))).orderBy("id")
         r.withColumn("rn", F.row_number().over(w)).filter("rn <= 3").count()
         r.orderBy(F.desc("id")).limit(5).count()
+        # text-operator shapes (tokenize → in-array filter → explode →
+        # two-level aggregate) on synthetic strings: the BM25/token-stats
+        # family of plans compiles these operator combinations
+        rt = spark.range(10_000)
+        txt = F.concat(F.lit("alpha beta gamma delta "), F.col("id").cast("string"))
+        toks = F.regexp_extract_all(F.lower(txt), F.lit(r"\w{1,8}|[^\w\s]"), 0)
+        wt = rt.select(F.col("id"), toks.alias("ts"))
+        terms = F.array(F.lit("alpha"), F.lit("beta"))
+        (
+            wt.select(
+                "id", F.size("ts").alias("n"),
+                F.explode(F.filter("ts", lambda t: F.array_contains(terms, t))).alias("term"),
+            )
+            .groupBy("id", "term", "n").agg(F.count(F.lit(1)).alias("tf"))
+            .groupBy("term").agg(F.countDistinct("id").alias("df"))
+            .count()
+        )
+        wt.agg(F.count(F.lit(1)), F.avg(F.size("ts"))).collect()
         d = tempfile.mkdtemp(prefix="warm_")
         try:
             spark.range(100).write.mode("overwrite").parquet(f"{d}/t")
