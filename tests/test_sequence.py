@@ -40,6 +40,23 @@ def test_bounded_path_matches_two_phase(spark):
     assert slow.exceptAll(fast).count() == 0
 
 
+def test_bounded_path_matches_two_phase_above_old_threshold(spark):
+    """r6 raised SMALL_INPUT_ROWS 2^14 → 2^18: a bounded input in the newly
+    single-window region (e.g. the bench's 100k-row claim) must still
+    assign the exact two-phase values."""
+    from azure_blob_crawler_spark.operators.sequence import SMALL_INPUT_ROWS
+
+    n = 20_000
+    assert (1 << 14) < n <= SMALL_INPUT_ROWS  # the region this test pins
+    df = spark.range(n).select(
+        (F.col("id") % 977).alias("a"), F.col("id").alias("b")
+    )
+    fast = assign_global_seq(df, ["a", "b"], "seq", bounded_rows=n)
+    slow = assign_global_seq(df, ["a", "b"], "seq")
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
 def test_empty_input(spark):
     df = spark.range(0).select(F.col("id").alias("k"))
     out = assign_global_seq(df, ["k"], "seq")
